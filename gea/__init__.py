@@ -1,0 +1,30 @@
+"""gea — TPU-native rebuild of the `aleju/gan-error-avoidance` capability set.
+
+A from-scratch JAX / XLA / Pallas framework implementing the three
+error-avoidance techniques of "Learning to Avoid Errors in GANs by
+Manipulating Input Spaces" (arXiv:1707.00768):
+
+* **G-LIS** — a generator with a chain of learned-input-space (LIS) residual
+  noise-refinement modules (reference: ``g_lis/``).
+* **R-iterative** — a reverser network trained jointly with G/D and applied
+  iteratively at inference (reference: ``r_iterative/``).
+* **R-separate** — a reverser trained post-hoc against a frozen generator
+  (reference: ``r_separate/``).
+
+Layout (reference layer map in SURVEY.md §1 → TPU-native layers):
+
+=============  ==========================================================
+``gea.config``  frozen config dataclasses + argparse shims (reference CLI)
+``gea.ops``     NN building blocks (weight norm, TPReLU, torch-compatible
+                conv/conv-transpose) + Pallas kernels (``gea.ops.pallas``)
+``gea.models``  GeneratorLIS / Discriminator / Reverter
+``gea.data``    CelebA-style folder pipeline, on-device preprocessing,
+                synthetic data for tests
+``gea.train``   jitted alternating G/D train steps, R trainers
+``gea.parallel`` device mesh + shard_map data parallelism (psum over ICI)
+``gea.utils``   checkpointing (orbax), sample grids, loss plots, meters
+``gea.cli``     entry points mirroring the reference scripts
+=============  ==========================================================
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,77 @@
+"""Per-stage grid sampler CLI (reference: `g_lis/sample.py`, SURVEY.md
+§3.2): load a trained G-LIS run, render image grids for every LIS stage so
+the error-avoidance progression is visible (reference C6/C13).
+
+    python -m gea.cli.sample --load_path runs/glis3_80 \
+        --save_path_samples out/samples --count 64
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gea.config import SampleConfig, TrainGLISConfig
+from gea.models import GeneratorLIS
+from gea.utils.checkpoint import restore_checkpoint
+from gea.utils.grids import save_image_grid, save_stage_grids
+
+
+def load_generator(
+    load_path: str, override: Optional[Any] = None
+) -> Tuple[GeneratorLIS, Dict[str, Any], TrainGLISConfig]:
+    """Rebuild the generator from a run dir's config.json + latest
+    checkpoint. This is the cross-tool checkpoint contract (SURVEY.md §7
+    hard part #7) that R-separate also relies on."""
+    train_cfg = TrainGLISConfig.load(os.path.join(load_path, "config.json"))
+    if override is not None:
+        train_cfg = train_cfg  # sampler flags never change architecture
+    generator = GeneratorLIS.from_config(train_cfg)
+    restored = restore_checkpoint(load_path, target=None)
+    params_g = restored["params_g"]
+    extras_g = restored.get("extras_g") or {}
+    variables = {"params": params_g, **extras_g}
+    return generator, variables, train_cfg
+
+
+def run(cfg: SampleConfig):
+    generator, variables, train_cfg = load_generator(cfg.load_path)
+    out_dir = cfg.save_path_samples or os.path.join(cfg.load_path, "samples_cli")
+    os.makedirs(out_dir, exist_ok=True)
+
+    render = jax.jit(
+        lambda z, sn: generator.render(variables, z, spatial_noise=sn)[0]
+    )
+    rng = jax.random.PRNGKey(cfg.seed)
+    done = 0
+    batch_idx = 0
+    while done < cfg.count:
+        n = min(cfg.batch_size, cfg.count - done)
+        rng, z_rng, sn_rng = jax.random.split(rng, 3)
+        z = jax.random.normal(z_rng, (n, train_cfg.code_size), jnp.float32)
+        sn_shape = generator.spatial_noise_shape(n)
+        sn = (
+            jax.random.normal(sn_rng, sn_shape, jnp.float32)
+            if sn_shape
+            else None
+        )
+        images = np.asarray(jax.device_get(render(z, sn)))
+        save_stage_grids(images, out_dir, batch_idx, rows=cfg.grid_rows)
+        done += n
+        batch_idx += 1
+    print(f"[gea] wrote {batch_idx} per-stage grid sets to {out_dir}")
+
+
+def main(argv: Optional[list] = None):
+    cfg = SampleConfig.from_args(argv)
+    if not cfg.load_path:
+        raise SystemExit("--load_path is required")
+    return run(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+"""G-LIS trainer CLI (reference: `g_lis/train.py`, SURVEY.md §3.1).
+
+Example (BASELINE.json config 3 — G-LIS, 3 LIS modules, 80x80):
+
+    python -m gea.cli.train_glis \
+        --dataset folder --dataroot /data/celeba --crop_size 160 \
+        --image_size 80 --code_size 256 --norm weight --r_iterations 3 \
+        --save_path runs/glis3_80
+
+Synthetic smoke run (config 1, CPU-runnable):
+
+    python -m gea.cli.train_glis --dataset synthetic --image_size 64 \
+        --r_iterations 0 --batch_size 16 --niter 50 --save_path /tmp/run
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gea.config import TrainGLISConfig
+from gea.models import Discriminator, GeneratorLIS
+from gea.parallel import make_parallel_step
+from gea.parallel.dp import replicate_state
+from gea.parallel.mesh import DATA_AXIS
+from gea.train.runner import (
+    TrainLoop,
+    input_iterator,
+    maybe_resume,
+    prepare_run,
+    resolve_mesh,
+)
+from gea.train.state import create_glis_state, make_optimizer, param_count
+from gea.train.steps import build_glis_train_step
+from gea.utils.grids import save_stage_grids
+
+
+def build_models(cfg: TrainGLISConfig):
+    generator = GeneratorLIS.from_config(cfg)
+    discriminator = Discriminator.from_config(cfg)
+    return generator, discriminator
+
+
+def make_vis_fn(cfg, generator, run_dir: str):
+    """Fixed eval-noise per-stage sample grids (reference C11)."""
+    n_vis = cfg.vis_rows * cfg.vis_rows
+    vis_rng = jax.random.PRNGKey(cfg.seed + 999)
+    z_rng, sn_rng = jax.random.split(vis_rng)
+    z = jax.random.normal(z_rng, (n_vis, cfg.code_size), jnp.float32)
+    sn_shape = generator.spatial_noise_shape(n_vis)
+    sn = (
+        jax.random.normal(sn_rng, sn_shape, jnp.float32) if sn_shape else None
+    )
+
+    @jax.jit
+    def render(params_g, extras_g):
+        images, _ = generator.render({"params": params_g, **extras_g}, z, sn)
+        return images
+
+    def vis(state, step: int) -> None:
+        images = np.asarray(jax.device_get(render(state.params_g, state.extras_g)))
+        save_stage_grids(
+            images, os.path.join(run_dir, "samples"), step, rows=cfg.vis_rows
+        )
+
+    return vis
+
+
+def run(cfg: TrainGLISConfig):
+    run_dir = prepare_run(cfg)
+    mesh = resolve_mesh(cfg)
+    num_chips = mesh.devices.size if mesh is not None else 1
+    if cfg.batch_size % max(1, num_chips) != 0:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} must divide over {num_chips} devices"
+        )
+
+    generator, discriminator = build_models(cfg)
+    tx_g = make_optimizer(cfg.lr, cfg.beta1, cfg.beta2)
+    tx_d = make_optimizer(cfg.lr, cfg.beta1, cfg.beta2)
+    state = create_glis_state(cfg, generator, discriminator, tx_g, tx_d, cfg.seed)
+    print(
+        f"[gea] G params: {param_count(state.params_g):,}  "
+        f"D params: {param_count(state.params_d):,}  "
+        f"devices: {num_chips}  stages/step: {generator.n_stages}"
+    )
+    state, start_step = maybe_resume(cfg, state)
+
+    axis = DATA_AXIS if mesh is not None else None
+    step = build_glis_train_step(
+        cfg, generator, discriminator, tx_g, tx_d, axis_name=axis
+    )
+    if mesh is not None:
+        step_fn = make_parallel_step(step, mesh)
+        state = replicate_state(state, mesh)
+    else:
+        step_fn = jax.jit(step, donate_argnums=0)
+
+    data_iter, preprocess = input_iterator(cfg, mesh, cfg.seed)
+    vis = make_vis_fn(cfg, generator, run_dir)
+    loop = TrainLoop(
+        cfg,
+        run_dir,
+        state,
+        step_fn,
+        data_iter,
+        preprocess,
+        vis_fn=vis,
+        num_chips=num_chips,
+    )
+    final_state = loop.run(start_step)
+    stats = loop.meter.stats(num_chips)
+    print(
+        f"[gea] done: {stats['images_per_sec']:.1f} img/s "
+        f"({stats['images_per_sec_per_chip']:.1f}/chip)"
+    )
+    return final_state, stats
+
+
+def main(argv: Optional[list] = None):
+    cfg = TrainGLISConfig.from_args(argv)
+    return run(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,143 @@
+"""R-iterative trainer CLI (reference: `r_iterative/train.py`, SURVEY.md
+§3.3): joint G/D/R training where the reverser correction chain
+z_t = z_{t-1} + R(G(z_{t-1})) is unrolled inside every step and the
+similarity penalty lambda_r keeps corrected codes near the originals.
+
+    python -m gea.cli.train_r_iterative --dataset folder --dataroot /data/celeba \
+        --image_size 80 --crop_size 160 --r_chain_length 2 --lambda_r 0.9 \
+        --save_path runs/riter
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gea.config import TrainRIterativeConfig
+from gea.models import Discriminator, GeneratorLIS, Reverter
+from gea.parallel import make_parallel_step
+from gea.parallel.dp import replicate_state
+from gea.parallel.mesh import DATA_AXIS
+from gea.train.runner import (
+    TrainLoop,
+    input_iterator,
+    maybe_resume,
+    prepare_run,
+    resolve_mesh,
+)
+from gea.train.state import add_reverter, create_glis_state, make_optimizer, param_count
+from gea.train.steps_r import build_r_iterative_step
+from gea.utils.grids import save_stage_grids
+
+
+def build_models(cfg: TrainRIterativeConfig):
+    # The R-iterative approach uses a plain generator (no LIS modules) —
+    # the input-space correction comes from R, not from LIS (SURVEY.md §0).
+    generator = GeneratorLIS.from_config(cfg, r_iterations=0)
+    discriminator = Discriminator.from_config(cfg)
+    reverter = Reverter.from_config(cfg)
+    return generator, discriminator, reverter
+
+
+def make_vis_fn(cfg, generator, reverter, run_dir: str):
+    """Per-link correction-chain grids: G(z_0), G(z_1), ..., G(z_T)."""
+    n_vis = cfg.vis_rows * cfg.vis_rows
+    rng = jax.random.PRNGKey(cfg.seed + 999)
+    z_rng, sn_rng = jax.random.split(rng)
+    z0 = jax.random.normal(z_rng, (n_vis, cfg.code_size), jnp.float32)
+    sn_shape = generator.spatial_noise_shape(n_vis)
+    sn = jax.random.normal(sn_rng, sn_shape, jnp.float32) if sn_shape else None
+
+    @jax.jit
+    def render_chain(params_g, extras_g, params_r, extras_r):
+        g_vars = {"params": params_g, **extras_g}
+        r_vars = {"params": params_r, **extras_r}
+        z = z0
+        imgs = [generator.apply(g_vars, z, spatial_noise=sn, train=False)[0][0]]
+        for _ in range(cfg.r_chain_length):
+            delta = reverter.apply(r_vars, imgs[-1], train=False)
+            z = z + delta
+            imgs.append(
+                generator.apply(g_vars, z, spatial_noise=sn, train=False)[0][0]
+            )
+        return jnp.stack(imgs)
+
+    def vis(state, step: int) -> None:
+        imgs = np.asarray(
+            jax.device_get(
+                render_chain(
+                    state.params_g, state.extras_g, state.params_r, state.extras_r
+                )
+            )
+        )
+        save_stage_grids(
+            imgs, os.path.join(run_dir, "samples"), step, rows=cfg.vis_rows
+        )
+
+    return vis
+
+
+def run(cfg: TrainRIterativeConfig):
+    run_dir = prepare_run(cfg)
+    mesh = resolve_mesh(cfg)
+    num_chips = mesh.devices.size if mesh is not None else 1
+    if cfg.batch_size % max(1, num_chips) != 0:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} must divide over {num_chips} devices"
+        )
+
+    generator, discriminator, reverter = build_models(cfg)
+    tx_g = make_optimizer(cfg.lr, cfg.beta1, cfg.beta2)
+    tx_d = make_optimizer(cfg.lr, cfg.beta1, cfg.beta2)
+    tx_r = make_optimizer(cfg.lr, cfg.beta1, cfg.beta2)
+    state = create_glis_state(cfg, generator, discriminator, tx_g, tx_d, cfg.seed)
+    state = add_reverter(state, cfg, reverter, tx_r, cfg.seed)
+    print(
+        f"[gea] G {param_count(state.params_g):,} | D {param_count(state.params_d):,}"
+        f" | R {param_count(state.params_r):,} params, devices: {num_chips}"
+    )
+    state, start_step = maybe_resume(cfg, state)
+
+    axis = DATA_AXIS if mesh is not None else None
+    step = build_r_iterative_step(
+        cfg, generator, discriminator, reverter, tx_g, tx_d, tx_r, axis_name=axis
+    )
+    if mesh is not None:
+        step_fn = make_parallel_step(step, mesh)
+        state = replicate_state(state, mesh)
+    else:
+        step_fn = jax.jit(step, donate_argnums=0)
+
+    data_iter, preprocess = input_iterator(cfg, mesh, cfg.seed)
+    vis = make_vis_fn(cfg, generator, reverter, run_dir)
+    loop = TrainLoop(
+        cfg,
+        run_dir,
+        state,
+        step_fn,
+        data_iter,
+        preprocess,
+        vis_fn=vis,
+        num_chips=num_chips,
+        loss_keys=("loss_d", "loss_g", "loss_r_sim"),
+    )
+    final_state = loop.run(start_step)
+    stats = loop.meter.stats(num_chips)
+    print(
+        f"[gea] done: {stats['images_per_sec']:.1f} img/s "
+        f"({stats['images_per_sec_per_chip']:.1f}/chip)"
+    )
+    return final_state, stats
+
+
+def main(argv: Optional[list] = None):
+    cfg = TrainRIterativeConfig.from_args(argv)
+    return run(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,169 @@
+"""R-separate trainer CLI (reference: `r_separate/train_r.py`, SURVEY.md
+§3.4): train a reverser R against a FROZEN generator loaded from a finished
+G-LIS run. The generator's architecture is taken from the G run's saved
+config.json, not from this tool's flags — the cross-tool checkpoint
+contract (SURVEY.md §7 hard part #7).
+
+    python -m gea.cli.train_r_separate --g_path runs/glis3_80 \
+        --save_path runs/rsep --niter 20000
+
+R-separate needs NO real data: the frozen G is the data source, so the
+whole step runs on device with an empty input pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gea.config import TrainRSeparateConfig
+from gea.cli.sample import load_generator
+from gea.models import Reverter
+from gea.parallel import make_parallel_step
+from gea.parallel.dp import replicate_state
+from gea.parallel.mesh import DATA_AXIS
+from gea.train.runner import TrainLoop, maybe_resume, prepare_run, resolve_mesh
+from gea.train.state import GANTrainState, make_optimizer, param_count
+from gea.train.steps_r import build_r_separate_step
+from gea.utils.grids import save_stage_grids
+
+
+def _architecture_from_g(cfg: TrainRSeparateConfig, g_cfg) -> TrainRSeparateConfig:
+    """The reverser tool inherits every architecture field from the frozen
+    generator's run config."""
+    return cfg.replace(
+        image_size=g_cfg.image_size,
+        code_size=g_cfg.code_size,
+        norm=g_cfg.norm,
+        r_iterations=g_cfg.r_iterations,
+        num_features=g_cfg.num_features,
+        max_features=g_cfg.max_features,
+        lis_hidden_mult=g_cfg.lis_hidden_mult,
+        spatial_code=g_cfg.spatial_code,
+        include_initial_image=g_cfg.include_initial_image,
+        dtype=g_cfg.dtype,
+    )
+
+
+def create_r_state(cfg, reverter: Reverter, tx_r, seed: int) -> GANTrainState:
+    rng = jax.random.PRNGKey(seed)
+    r_init, rng = jax.random.split(rng)
+    img = jnp.zeros((2, cfg.image_size, cfg.image_size, 3), jnp.float32)
+    vars_r = reverter.init(r_init, img, train=True)
+    params_r = vars_r["params"]
+    extras_r = {k: v for k, v in vars_r.items() if k != "params"}
+    return GANTrainState(
+        step=jnp.zeros((), jnp.int32),
+        rng=rng,
+        params_g={},
+        params_d={},
+        extras_g={},
+        extras_d={},
+        opt_g={},
+        opt_d={},
+        params_r=params_r,
+        extras_r=extras_r,
+        opt_r=tx_r.init(params_r),
+    )
+
+
+def _dummy_data(num_chips: int = 1):
+    """R-separate consumes no real data; this feeds the generic TrainLoop a
+    shardable placeholder batch."""
+    z = np.zeros((num_chips,), np.float32)
+    while True:
+        yield z
+
+
+def make_vis_fn(cfg, generator, g_variables, reverter, run_dir: str):
+    """Before/after correction grids: G(z) vs G(R(G(z))) — the
+    error-avoidance payoff made visible (reference C13)."""
+    n_vis = cfg.vis_rows * cfg.vis_rows
+    rng = jax.random.PRNGKey(cfg.seed + 999)
+    z_rng, sn_rng = jax.random.split(rng)
+    z = jax.random.normal(z_rng, (n_vis, cfg.code_size), jnp.float32)
+    sn_shape = generator.spatial_noise_shape(n_vis)
+    sn = jax.random.normal(sn_rng, sn_shape, jnp.float32) if sn_shape else None
+
+    @jax.jit
+    def render_pair(params_r, extras_r):
+        images, zs = generator.apply(
+            g_variables, z, spatial_noise=sn, train=False,
+            render_all_stages=True,
+        )
+        before = images[-1]
+        z_corr = reverter.apply(
+            {"params": params_r, **extras_r}, before, train=False
+        )
+        images2, _ = generator.apply(
+            g_variables, z_corr, spatial_noise=sn, train=False,
+            render_all_stages=True,
+        )
+        after = images2[-1]
+        return jnp.stack([before, after])
+
+    def vis(state, step: int) -> None:
+        pair = np.asarray(
+            jax.device_get(render_pair(state.params_r, state.extras_r))
+        )
+        save_stage_grids(
+            pair, os.path.join(run_dir, "samples"), step, rows=cfg.vis_rows
+        )
+
+    return vis
+
+
+def run(cfg: TrainRSeparateConfig):
+    if not cfg.g_path:
+        raise SystemExit("--g_path (trained generator run dir) is required")
+    generator, g_variables, g_cfg = load_generator(cfg.g_path)
+    cfg = _architecture_from_g(cfg, g_cfg)
+    run_dir = prepare_run(cfg)
+    mesh = resolve_mesh(cfg)
+    num_chips = mesh.devices.size if mesh is not None else 1
+
+    reverter = Reverter.from_config(cfg)
+    tx_r = make_optimizer(cfg.lr, cfg.beta1, cfg.beta2)
+    state = create_r_state(cfg, reverter, tx_r, cfg.seed)
+    print(f"[gea] R params: {param_count(state.params_r):,}  devices: {num_chips}")
+    state, start_step = maybe_resume(cfg, state)
+
+    axis = DATA_AXIS if mesh is not None else None
+    step = build_r_separate_step(
+        cfg, generator, reverter, g_variables, tx_r, axis_name=axis
+    )
+    if mesh is not None:
+        step_fn = make_parallel_step(step, mesh)
+        state = replicate_state(state, mesh)
+    else:
+        step_fn = jax.jit(step, donate_argnums=0)
+
+    vis = make_vis_fn(cfg, generator, g_variables, reverter, run_dir)
+    loop = TrainLoop(
+        cfg,
+        run_dir,
+        state,
+        step_fn,
+        _dummy_data(num_chips),
+        preprocess=lambda raw, rng: raw,
+        vis_fn=vis,
+        num_chips=num_chips,
+        loss_keys=("loss_r",),
+    )
+    final_state = loop.run(start_step)
+    stats = loop.meter.stats(num_chips)
+    print(f"[gea] done: {stats['images_per_sec']:.1f} img/s")
+    return final_state, stats
+
+
+def main(argv: Optional[list] = None):
+    cfg = TrainRSeparateConfig.from_args(argv)
+    return run(cfg)
+
+
+if __name__ == "__main__":
+    main()

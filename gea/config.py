@@ -1,0 +1,316 @@
+"""Frozen run configurations mirroring the reference CLI surface.
+
+The reference (`aleju/gan-error-avoidance`) is consumed exclusively through
+argparse-driven scripts (SURVEY.md §1, L4): ``g_lis/train.py``,
+``g_lis/sample.py``, ``g_lis/sample_interpolations.py``,
+``r_iterative/train.py``, ``r_separate/train_r.py`` and their samplers.
+Flag names below follow the reference surface documented in SURVEY.md §5
+(``--dataset --dataroot --batch_size --image_size --crop_size --code_size
+--norm --lr --niter --r_iterations --lambda_r --save_path --load_path
+--save_interval --vis_interval --save_path_samples``), plus TPU-native
+extensions that have no reference analogue (mesh/dtype/profiling flags).
+
+Every config serializes to JSON into the run directory so an experiment is
+reproducible from its artifacts alone (the reference's experiment identity is
+"the flag string + --save_path"; we make it durable).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Optional, Tuple, Type, TypeVar
+
+T = TypeVar("T", bound="BaseConfig")
+
+NORM_CHOICES = ("weight", "batch", "none")
+DATASET_CHOICES = ("folder", "synthetic", "cifar10")
+
+
+def _flag(default: Any, help: str, **kw: Any) -> Any:  # noqa: A002
+    return field(default=default, metadata={"help": help, **kw})
+
+
+@dataclass(frozen=True)
+class BaseConfig:
+    """Shared machinery: argparse round-trip + JSON round-trip."""
+
+    # ------------------------------------------------------------------ IO
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            f.write(self.to_json())
+
+    @classmethod
+    def load(cls: Type[T], path: str) -> T:
+        with open(path) as f:
+            raw = json.load(f)
+        names = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: _dejson(v) for k, v in raw.items() if k in names})
+
+    def replace(self: T, **kw: Any) -> T:
+        return dataclasses.replace(self, **kw)
+
+    # ------------------------------------------------------------ argparse
+    @classmethod
+    def add_args(cls, parser: argparse.ArgumentParser) -> None:
+        for f in dataclasses.fields(cls):
+            name = "--" + f.name
+            help_text = f.metadata.get("help", "")
+            choices = f.metadata.get("choices")
+            if f.type in ("bool", bool):
+                parser.add_argument(
+                    name,
+                    type=_str2bool,
+                    nargs="?",
+                    const=True,
+                    default=f.default,
+                    help=help_text + f" (default: {f.default})",
+                )
+            elif f.type in ("Tuple[float, ...]", "Tuple[int, ...]") or (
+                isinstance(f.default, tuple)
+            ):
+                elem = float if "float" in str(f.type) else int
+                parser.add_argument(
+                    name,
+                    type=elem,
+                    nargs="*",
+                    default=f.default,
+                    help=help_text + f" (default: {f.default})",
+                )
+            else:
+                typ = {"int": int, "float": float, "str": str}.get(str(f.type))
+                if typ is None:
+                    typ = type(f.default) if f.default is not None else str
+                parser.add_argument(
+                    name,
+                    type=typ,
+                    default=f.default,
+                    choices=choices,
+                    help=help_text + f" (default: {f.default})",
+                )
+
+    @classmethod
+    def from_args(cls: Type[T], argv: Optional[list] = None) -> T:
+        parser = argparse.ArgumentParser(description=cls.__doc__)
+        cls.add_args(parser)
+        ns = parser.parse_args(argv)
+        names = {f.name for f in dataclasses.fields(cls)}
+        kw = {k: v for k, v in vars(ns).items() if k in names}
+        for f in dataclasses.fields(cls):
+            if isinstance(f.default, tuple) and isinstance(kw.get(f.name), list):
+                kw[f.name] = tuple(kw[f.name])
+        return cls(**kw)
+
+
+def _str2bool(v: str) -> bool:
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError(f"boolean value expected, got {v!r}")
+
+
+def _dejson(v: Any) -> Any:
+    return tuple(v) if isinstance(v, list) else v
+
+
+# ===================================================================== model
+
+
+@dataclass(frozen=True)
+class ModelConfig(BaseConfig):
+    """Architecture hyper-parameters shared by every tool.
+
+    Mirrors the reference generator/discriminator builders
+    (``g_lis/common.py``-style, SURVEY.md §2 C3/C4, citations approximate —
+    reference mount was empty, see SURVEY.md §0).
+    """
+
+    image_size: int = _flag(80, "output image resolution (square)")
+    code_size: int = _flag(256, "dimensionality of the noise/code vector z")
+    norm: str = _flag(
+        "weight",
+        "normalization scheme for G and D",
+        choices=NORM_CHOICES,
+    )
+    r_iterations: int = _flag(
+        3, "number of chained LIS noise-refinement modules in the generator"
+    )
+    num_features: int = _flag(
+        64, "base channel count of the conv stacks (doubled per halving)"
+    )
+    max_features: int = _flag(512, "channel cap for the deepest conv layers")
+    lis_hidden_mult: int = _flag(
+        1, "hidden width of each LIS residual MLP, as a multiple of code_size"
+    )
+    spatial_code: int = _flag(
+        0,
+        "number of spatially-injected noise channels concatenated into an "
+        "intermediate generator feature map (reference C12; used for 160x160)",
+    )
+    include_initial_image: bool = _flag(
+        True,
+        "also render (and train on) the image for the raw z before any LIS "
+        "module; stage weights still put most mass on the final stage",
+    )
+    dtype: str = _flag(
+        "bfloat16", "compute dtype on TPU (params stay float32)"
+    )
+
+    @property
+    def n_stages(self) -> int:
+        """Number of rendered images per generator forward."""
+        if self.r_iterations == 0:
+            return 1
+        return self.r_iterations + (1 if self.include_initial_image else 0)
+
+
+# ====================================================================== data
+
+
+@dataclass(frozen=True)
+class DataConfig(BaseConfig):
+    """Input pipeline config (reference C9: torchvision transforms inline in
+    each trainer — CenterCrop(crop_size) -> Resize(image_size) ->
+    RandomHorizontalFlip -> Normalize to [-1, 1])."""
+
+    dataset: str = _flag("folder", "dataset kind", choices=DATASET_CHOICES)
+    dataroot: str = _flag("", "path to the image folder (CelebA dump)")
+    crop_size: int = _flag(160, "center-crop size applied before resize")
+    batch_size: int = _flag(64, "global batch size (split across the mesh)")
+    data_workers: int = _flag(4, "host-side decode worker threads")
+    on_device_pipeline: bool = _flag(
+        True,
+        "crop/resize/flip/normalize on device (jit) instead of on host; "
+        "host only decodes JPEG to uint8",
+    )
+    augment_flip: bool = _flag(True, "random horizontal flip augmentation")
+
+
+# ===================================================================== train
+
+
+@dataclass(frozen=True)
+class TrainGLISConfig(ModelConfig, DataConfig):
+    """`g_lis/train.py` equivalent — alternating G/D training of the G-LIS
+    generator (SURVEY.md §3.1)."""
+
+    lr: float = _flag(0.0002, "Adam learning rate for G and D")
+    beta1: float = _flag(0.5, "Adam beta1 (DCGAN convention)")
+    beta2: float = _flag(0.999, "Adam beta2")
+    niter: int = _flag(50_000, "number of training iterations")
+    stage_weight_initial: float = _flag(
+        0.2,
+        "relative adversarial-loss weight of non-final LIS stages; the final "
+        "stage always has weight 1.0 before normalization",
+    )
+    seed: int = _flag(42, "PRNG seed")
+    save_path: str = _flag("runs/glis", "experiment directory for outputs")
+    load_path: str = _flag("", "resume from this experiment directory")
+    save_interval: int = _flag(2000, "checkpoint every N iterations")
+    vis_interval: int = _flag(500, "sample grid + loss plot every N iters")
+    vis_rows: int = _flag(8, "rows (and cols) of the sample grid")
+    log_interval: int = _flag(50, "stdout loss print every N iterations")
+    num_devices: int = _flag(
+        0, "data-parallel device count; 0 = all visible devices"
+    )
+    profile_dir: str = _flag(
+        "", "if set, write a jax.profiler trace for steps 10..15 here"
+    )
+    use_pallas: bool = _flag(
+        True, "use fused Pallas kernels on TPU (falls back to XLA elsewhere)"
+    )
+
+
+@dataclass(frozen=True)
+class SampleConfig(ModelConfig, BaseConfig):
+    """`g_lis/sample.py` equivalent — render per-stage grids from a trained
+    checkpoint (SURVEY.md §3.2)."""
+
+    load_path: str = _flag("", "experiment directory of the trained run")
+    save_path_samples: str = _flag("", "output directory for sample PNGs")
+    count: int = _flag(64, "number of samples to generate")
+    batch_size: int = _flag(64, "generation batch size")
+    seed: int = _flag(0, "PRNG seed for the noise batch")
+    grid_rows: int = _flag(8, "rows of each output grid")
+
+
+@dataclass(frozen=True)
+class SampleInterpolationsConfig(SampleConfig):
+    """`g_lis/sample_interpolations.py` equivalent — spherical interpolation
+    walks between noise vectors, rendered per LIS stage."""
+
+    interp_points: int = _flag(8, "number of interpolation steps per pair")
+    interp_pairs: int = _flag(8, "number of (z_a, z_b) pairs to walk")
+    interp_mode: str = _flag(
+        "slerp", "interpolation mode", choices=("slerp", "lerp")
+    )
+
+
+@dataclass(frozen=True)
+class TrainRConfig(ModelConfig, DataConfig):
+    """Shared config for the two reverser tools (SURVEY.md §3.3/§3.4)."""
+
+    lr: float = _flag(0.0002, "Adam learning rate")
+    beta1: float = _flag(0.5, "Adam beta1")
+    beta2: float = _flag(0.999, "Adam beta2")
+    niter: int = _flag(20_000, "number of training iterations")
+    lambda_r: float = _flag(
+        0.9,
+        "weight of the z-similarity penalty ||R(G(z)) - z||^2 keeping the "
+        "corrected code close to the original",
+    )
+    seed: int = _flag(42, "PRNG seed")
+    save_path: str = _flag("runs/r", "experiment directory for outputs")
+    load_path: str = _flag("", "resume this R run from its directory")
+    save_interval: int = _flag(2000, "checkpoint every N iterations")
+    vis_interval: int = _flag(500, "sample grid + loss plot every N iters")
+    vis_rows: int = _flag(8, "rows (and cols) of the sample grid")
+    log_interval: int = _flag(50, "stdout loss print every N iterations")
+    num_devices: int = _flag(0, "data-parallel devices; 0 = all visible")
+    use_pallas: bool = _flag(True, "use fused Pallas kernels on TPU")
+
+
+@dataclass(frozen=True)
+class TrainRSeparateConfig(TrainRConfig):
+    """`r_separate/train_r.py` equivalent — train a reverser R against a
+    FROZEN generator loaded from a finished G-LIS run (reference C8). The
+    checkpoint directory given by --g_path is a cross-tool public interface
+    (SURVEY.md §5 'checkpoint/resume')."""
+
+    g_path: str = _flag(
+        "", "experiment directory of the trained (frozen) generator"
+    )
+    r_hidden: int = _flag(512, "hidden width of the reverser FC head")
+
+
+@dataclass(frozen=True)
+class TrainRIterativeConfig(TrainRConfig):
+    """`r_iterative/train.py` equivalent — joint G/R/D training with the
+    iterative correction chain z_{t+1} = z_t + R(G(z_t)) (reference C7)."""
+
+    r_chain_length: int = _flag(
+        2, "number of reverser correction iterations per step"
+    )
+    r_hidden: int = _flag(512, "hidden width of the reverser FC head")
+
+
+def stage_weights(cfg: ModelConfig) -> Tuple[float, ...]:
+    """Per-stage adversarial loss weights, final stage highest, normalized to
+    sum to 1 (SURVEY.md §0: 'the final stage with the highest loss weight')."""
+    n = cfg.n_stages
+    if n == 1:
+        return (1.0,)
+    initial = getattr(cfg, "stage_weight_initial", 0.2)
+    raw = [initial + (1.0 - initial) * i / (n - 1) for i in range(n)]
+    total = sum(raw)
+    return tuple(w / total for w in raw)

@@ -1,0 +1,56 @@
+"""On-device image preprocessing (BASELINE.json config 5 / north star:
+"the CelebA image pipeline (decode, face-crop, resize, flip, [-1,1]
+normalize) moves on-device").
+
+The reference does all of this on host CPU inside torchvision transforms
+(CenterCrop -> Resize -> RandomHorizontalFlip -> ToTensor -> Normalize,
+SURVEY.md §2 C9). Here the host only decodes JPEG to fixed-size uint8
+arrays; everything else is a jitted device function that XLA fuses into a
+single pass over the batch:
+
+* center crop to `crop_size` (static slice),
+* bilinear resize to `image_size` (jax.image.resize — lowers to two
+  matmul-like gathers that ride the MXU/VPU),
+* per-sample random horizontal flip (`jnp.where` on a reversed view —
+  no data-dependent control flow, so one compiled program serves every
+  batch),
+* uint8 -> [-1, 1] float normalize.
+
+Decode stays on host because TPUs have no JPEG unit; the transfer is uint8
+(3 bytes/pixel) rather than float32, quartering PCIe/host-link traffic.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(
+    jax.jit, static_argnames=("crop_size", "image_size", "augment_flip")
+)
+def preprocess_batch(
+    raw: jnp.ndarray,
+    rng: jax.Array,
+    crop_size: int,
+    image_size: int,
+    augment_flip: bool = True,
+) -> jnp.ndarray:
+    """(B, H, W, 3) uint8 -> (B, image_size, image_size, 3) float32 in [-1,1]."""
+    b, h, w, _ = raw.shape
+    cs = min(crop_size, h, w)
+    top = (h - cs) // 2
+    left = (w - cs) // 2
+    x = raw[:, top : top + cs, left : left + cs, :]
+    x = x.astype(jnp.float32) / 127.5 - 1.0
+    if cs != image_size:
+        x = jax.image.resize(
+            x, (b, image_size, image_size, 3), method="bilinear", antialias=cs > image_size
+        )
+    if augment_flip:
+        flip = jax.random.bernoulli(rng, 0.5, (b, 1, 1, 1))
+        x = jnp.where(flip, x[:, :, ::-1, :], x)
+    return x

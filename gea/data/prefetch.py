@@ -1,0 +1,49 @@
+"""Double-buffered host->device prefetch.
+
+The reference overlaps input with compute via DataLoader worker processes
+(SURVEY.md §3.1); the TPU-native analogue overlaps the host->device uint8
+copy with the device step: a background thread keeps `depth` batches ahead,
+`jax.device_put` is async, and the train loop only blocks when the device
+queue is truly empty — the alternating step "never stalls on input"
+(BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import jax
+import numpy as np
+
+
+def device_prefetch(
+    host_iter: Iterator[np.ndarray],
+    sharding: Optional[jax.sharding.Sharding] = None,
+    depth: int = 2,
+) -> Iterator[jax.Array]:
+    """Wrap a host batch iterator; yields device arrays `depth` ahead."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def worker():
+        try:
+            for batch in host_iter:
+                if stop.is_set():
+                    return
+                arr = jax.device_put(batch, sharding)
+                q.put(arr)
+        finally:
+            q.put(None)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item
+    finally:
+        stop.set()

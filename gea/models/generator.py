@@ -1,0 +1,268 @@
+"""G-LIS generator (reference C3: `GeneratorLearnedInputSpace` in
+`g_lis/common.py`, SURVEY.md §2/§3.5 — citations approximate, reference
+mount empty; see SURVEY.md §0).
+
+Semantics rebuilt here:
+
+* A chain of ``r_iterations`` small fully-connected **LIS modules**, each
+  applying a residual update to the noise vector:
+  ``z_{i+1} = z_i + LIS_i(z_i)``.
+* A DCGAN-style conv-transpose core renders an image from the noise after
+  each stage; training gives every stage's image discriminator feedback with
+  the final stage weighted highest (SURVEY.md §0 item 3).
+* Optional **spatial noise channels** (reference C12) concatenated into the
+  first intermediate feature map, used at higher resolutions (160x160).
+
+TPU-first design decisions (deliberate departures from the reference's
+per-stage Python loop over ``.cuda()`` renders):
+
+* All stage noise vectors are stacked and the conv core renders them in ONE
+  large batch of size ``n_stages * B`` — one XLA conv per layer with a batch
+  big enough to keep the MXU full, instead of ``n_stages`` small launches.
+* NHWC layout, bfloat16 compute, float32 params.
+* The LIS chain is a static Python loop over ``r_iterations`` (a compile-time
+  constant baked into the jitted step — SURVEY.md §7 hard part #2), each
+  link lowered to the fused Pallas residual-MLP kernel on TPU
+  (gea/ops/pallas/lis.py) with a pure-XLA fallback.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from gea.config import ModelConfig
+from gea.ops.layers import ConvTranspose, Dense, NormAct, TPReLU
+
+
+def generator_plan(image_size: int) -> Tuple[int, int]:
+    """(base_resolution, num_doublings) for a target image size.
+
+    80 -> (5, 4); 64 -> (4, 4); 160 -> (5, 5); 32 -> (4, 3).
+    Matches the reference's DCGAN convention of growing from a 4x4 or 5x5
+    seed map by stride-2 conv-transposes (SURVEY.md §3.5).
+    """
+    s, d = image_size, 0
+    while s % 2 == 0 and s // 2 >= 4:
+        s //= 2
+        d += 1
+    if s * (2**d) != image_size or d == 0:
+        raise ValueError(f"unsupported image_size {image_size}")
+    return s, d
+
+
+class LISModule(nn.Module):
+    """One learned-input-space residual block: z + MLP(z).
+
+    The MLP is Dense(code -> hidden) -> act -> Dense(hidden -> code); the
+    residual add keeps the module an identity-like perturbation of the
+    noise vector, which is the error-avoidance mechanism of arXiv:1707.00768.
+    """
+
+    code_size: int
+    hidden_mult: int = 1
+    norm: str = "weight"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+        wn = self.norm == "weight"
+        hidden = self.code_size * self.hidden_mult
+        h = Dense(hidden, weight_norm=wn, dtype=self.dtype, name="fc1")(z)
+        if wn:
+            h = TPReLU(dtype=self.dtype, name="act")(h)
+        else:
+            h = nn.leaky_relu(h, negative_slope=0.2)
+        delta = Dense(
+            self.code_size, weight_norm=wn, dtype=self.dtype, name="fc2"
+        )(h)
+        return z + delta
+
+
+class GeneratorCore(nn.Module):
+    """The conv-transpose rendering core: z -> image in [-1, 1]."""
+
+    image_size: int
+    code_size: int
+    norm: str = "weight"
+    num_features: int = 64
+    max_features: int = 512
+    spatial_code: int = 0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        z: jnp.ndarray,
+        spatial_noise: Optional[jnp.ndarray] = None,
+        train: bool = True,
+    ) -> jnp.ndarray:
+        s0, d = generator_plan(self.image_size)
+        wn = self.norm == "weight"
+        nf, cap = self.num_features, self.max_features
+
+        c0 = min(nf * 2 ** (d - 1), cap)
+        x = Dense(
+            s0 * s0 * c0, weight_norm=wn, dtype=self.dtype, name="project"
+        )(z)
+        x = x.reshape(x.shape[0], s0, s0, c0)
+        x = NormAct(norm=self.norm, dtype=self.dtype, name="project_act")(
+            x, train=train
+        )
+
+        for i in range(1, d):
+            ci = min(nf * 2 ** (d - 1 - i), cap)
+            x = ConvTranspose(
+                ci,
+                kernel_size=4,
+                stride=2,
+                padding=1,
+                weight_norm=wn,
+                dtype=self.dtype,
+                name=f"up{i}",
+            )(x)
+            x = NormAct(norm=self.norm, dtype=self.dtype, name=f"up{i}_act")(
+                x, train=train
+            )
+            if i == 1 and self.spatial_code > 0:
+                if spatial_noise is None:
+                    raise ValueError(
+                        "spatial_code > 0 requires a spatial_noise input of "
+                        f"shape (B, {2 * s0}, {2 * s0}, {self.spatial_code})"
+                    )
+                x = jnp.concatenate(
+                    [x, spatial_noise.astype(x.dtype)], axis=-1
+                )
+
+        x = ConvTranspose(
+            3,
+            kernel_size=4,
+            stride=2,
+            padding=1,
+            weight_norm=wn,
+            dtype=self.dtype,
+            name="to_rgb",
+        )(x)
+        return jnp.tanh(x.astype(jnp.float32))
+
+
+class GeneratorLIS(nn.Module):
+    """Full G-LIS generator: LIS chain + shared rendering core.
+
+    ``__call__(z)`` returns ``(images, zs)``:
+
+    * ``zs``     — (r_iterations + 1, B, code): z0 and every refined z_i.
+    * ``images`` — (n_stages, B, H, W, 3) in [-1, 1]: renders of the staged
+      noise vectors selected for training/visualisation. With 0 LIS modules
+      this is the single render of z0 (the vanilla-DCGAN baseline of
+      BASELINE.json config 1); with N modules it is the renders of
+      [z0?, z1, ..., zN] (z0 included iff ``include_initial_image``).
+    """
+
+    image_size: int = 80
+    code_size: int = 256
+    r_iterations: int = 3
+    norm: str = "weight"
+    num_features: int = 64
+    max_features: int = 512
+    lis_hidden_mult: int = 1
+    spatial_code: int = 0
+    include_initial_image: bool = True
+    dtype: Any = jnp.float32
+
+    @classmethod
+    def from_config(cls, cfg: ModelConfig, **overrides: Any) -> "GeneratorLIS":
+        kw = dict(
+            image_size=cfg.image_size,
+            code_size=cfg.code_size,
+            r_iterations=cfg.r_iterations,
+            norm=cfg.norm,
+            num_features=cfg.num_features,
+            max_features=cfg.max_features,
+            lis_hidden_mult=cfg.lis_hidden_mult,
+            spatial_code=cfg.spatial_code,
+            include_initial_image=cfg.include_initial_image,
+            dtype=jnp.dtype(cfg.dtype),
+        )
+        kw.update(overrides)
+        return cls(**kw)
+
+    @property
+    def n_stages(self) -> int:
+        if self.r_iterations == 0:
+            return 1
+        return self.r_iterations + (1 if self.include_initial_image else 0)
+
+    def spatial_noise_shape(self, batch: int) -> Optional[Tuple[int, ...]]:
+        if self.spatial_code == 0:
+            return None
+        s0, _ = generator_plan(self.image_size)
+        return (batch, 2 * s0, 2 * s0, self.spatial_code)
+
+    @nn.compact
+    def __call__(
+        self,
+        z: jnp.ndarray,
+        spatial_noise: Optional[jnp.ndarray] = None,
+        train: bool = True,
+        render_all_stages: bool = False,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        batch = z.shape[0]
+        zs: List[jnp.ndarray] = [z]
+        for i in range(self.r_iterations):
+            z = LISModule(
+                code_size=self.code_size,
+                hidden_mult=self.lis_hidden_mult,
+                norm=self.norm,
+                dtype=self.dtype,
+                name=f"lis{i}",
+            )(z)
+            zs.append(z)
+
+        if self.r_iterations == 0:
+            render = [zs[0]]
+        elif render_all_stages or self.include_initial_image:
+            render = zs
+        else:
+            render = zs[1:]
+
+        n_render = len(render)
+        stacked = jnp.concatenate(render, axis=0)  # (S*B, code)
+
+        sn = None
+        if self.spatial_code > 0:
+            if spatial_noise is None:
+                raise ValueError("spatial_code > 0 requires spatial_noise")
+            sn = jnp.tile(spatial_noise, (n_render, 1, 1, 1))
+
+        core = GeneratorCore(
+            image_size=self.image_size,
+            code_size=self.code_size,
+            norm=self.norm,
+            num_features=self.num_features,
+            max_features=self.max_features,
+            spatial_code=self.spatial_code,
+            dtype=self.dtype,
+            name="core",
+        )
+        images = core(stacked, spatial_noise=sn, train=train)
+        images = images.reshape(n_render, batch, *images.shape[1:])
+        return images, jnp.stack(zs, axis=0)
+
+    def render(
+        self,
+        variables: Any,
+        z: jnp.ndarray,
+        spatial_noise: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Inference-mode render of ALL stages (z0..zN) — the samplers'
+        per-stage progression view (reference C6/C13)."""
+        return self.apply(
+            variables,
+            z,
+            spatial_noise=spatial_noise,
+            train=False,
+            render_all_stages=True,
+        )

@@ -1,0 +1,81 @@
+"""Reverser network R (reference C7/C8: `r_iterative/common.py` and the
+r_separate models — citations approximate, reference mount empty; see
+SURVEY.md §0).
+
+R maps a generated image back to a (corrected) noise vector: a conv encoder
+mirroring the discriminator trunk, followed by an FC head onto the code
+space. Used two ways (SURVEY.md §0):
+
+* **R-iterative** — trained jointly with G/D; applied in a chain
+  ``z_{t+1} = z_t + R(G(z_t))`` with a similarity penalty keeping z_{t+1}
+  near z_t.
+* **R-separate** — trained after G has finished, against a frozen G; purely
+  post-hoc input-space correction at inference.
+
+Here R predicts a *residual* Δz (the chain form above); ``apply_correction``
+composes the full corrected code. The similarity penalty
+``lambda_r * ||Δz||²`` is implemented in gea/train/losses.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from gea.config import ModelConfig
+from gea.models.discriminator import DiscriminatorTrunk
+from gea.ops.layers import Dense, TPReLU
+
+
+class Reverter(nn.Module):
+    """Image -> Δz correction in code space."""
+
+    image_size: int = 80
+    code_size: int = 256
+    norm: str = "weight"
+    num_features: int = 64
+    max_features: int = 512
+    hidden: int = 512
+    dtype: Any = jnp.float32
+
+    @classmethod
+    def from_config(cls, cfg: ModelConfig, **overrides: Any) -> "Reverter":
+        kw = dict(
+            image_size=cfg.image_size,
+            code_size=cfg.code_size,
+            norm=cfg.norm,
+            num_features=cfg.num_features,
+            max_features=cfg.max_features,
+            hidden=getattr(cfg, "r_hidden", 512),
+            dtype=jnp.dtype(cfg.dtype),
+        )
+        kw.update(overrides)
+        return cls(**kw)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        wn = self.norm == "weight"
+        h = DiscriminatorTrunk(
+            image_size=self.image_size,
+            norm=self.norm,
+            num_features=self.num_features,
+            max_features=self.max_features,
+            dtype=self.dtype,
+            name="trunk",
+        )(x, train=train)
+        h = Dense(self.hidden, weight_norm=wn, dtype=self.dtype, name="fc1")(h)
+        if wn:
+            h = TPReLU(dtype=self.dtype, name="act")(h)
+        else:
+            h = nn.leaky_relu(h, negative_slope=0.2)
+        delta = Dense(
+            self.code_size, weight_norm=wn, dtype=self.dtype, name="fc2"
+        )(h)
+        return delta.astype(jnp.float32)
+
+
+def apply_correction(z: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
+    """One reverser step: z' = z + R(G(z))."""
+    return z + delta

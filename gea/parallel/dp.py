@@ -1,0 +1,74 @@
+"""shard_map data-parallel wrapper for the train steps.
+
+The step function (gea/train/steps.py) is built with `axis_name="data"`:
+inside, gradients and metrics are `lax.pmean`'d over the axis — XLA lowers
+that to a psum all-reduce over ICI. Here we wrap it in shard_map over the
+1-axis mesh: the state pytree is replicated (PartitionSpec()) and the real
+batch is sharded on its leading dim (PartitionSpec("data")). The wrapped
+step is jitted with the state donated, so parameter/optimizer buffers
+update in place in HBM.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gea.parallel.mesh import DATA_AXIS
+
+
+def _shard_map(fn, mesh, in_specs, out_specs):
+    """jax.shard_map across jax versions (experimental fallback)."""
+    try:
+        return jax.shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+    except TypeError:
+        pass
+    try:
+        return jax.shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=False,
+        )
+    except (TypeError, AttributeError):
+        from jax.experimental.shard_map import shard_map as sm
+
+        return sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                  check_rep=False)
+
+
+def make_parallel_step(
+    step_fn: Callable[[Any, jax.Array], Tuple[Any, Any]],
+    mesh: Mesh,
+) -> Callable[[Any, jax.Array], Tuple[Any, Any]]:
+    """step(state, global_batch) -> (state, metrics), compiled over mesh."""
+    mapped = _shard_map(
+        step_fn,
+        mesh,
+        in_specs=(P(), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(mapped, donate_argnums=0)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: np.ndarray, mesh: Mesh) -> jax.Array:
+    """Place a host batch with its leading dim sharded over the data axis."""
+    return jax.device_put(batch, batch_sharding(mesh))
+
+
+def replicate_state(state: Any, mesh: Mesh) -> Any:
+    sh = replicated_sharding(mesh)
+    return jax.device_put(state, sh)

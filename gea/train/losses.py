@@ -1,0 +1,59 @@
+"""GAN objectives (reference: BCE/sigmoid GAN loss, SURVEY.md §0/§2 C4/C5).
+
+All losses take raw logits; the log-sigmoid is folded in for numerical
+stability (identical numerics to torch's binary_cross_entropy_with_logits,
+pinned by tests/test_torch_parity.py)."""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """mean( max(x,0) - x*t + log(1+exp(-|x|)) ) — the stable BCE form."""
+    logits = logits.astype(jnp.float32)
+    targets = targets.astype(jnp.float32)
+    loss = (
+        jnp.maximum(logits, 0.0)
+        - logits * targets
+        + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )
+    return jnp.mean(loss)
+
+
+def d_real_loss(logits_real: jnp.ndarray) -> jnp.ndarray:
+    return bce_with_logits(logits_real, jnp.ones_like(logits_real))
+
+
+def d_fake_loss(logits_fake: jnp.ndarray) -> jnp.ndarray:
+    return bce_with_logits(logits_fake, jnp.zeros_like(logits_fake))
+
+
+def g_adv_loss(logits_fake: jnp.ndarray) -> jnp.ndarray:
+    return bce_with_logits(logits_fake, jnp.ones_like(logits_fake))
+
+
+def staged_loss(
+    logits_per_stage: jnp.ndarray,
+    weights: Sequence[float],
+    target: float,
+) -> jnp.ndarray:
+    """Weighted per-stage BCE: logits (S, B), weights length S.
+
+    The per-stage weighting (final stage highest) is the G-LIS training
+    signal that teaches the LIS chain to steer noise out of error regions
+    (SURVEY.md §0 item 3)."""
+    w = jnp.asarray(weights, dtype=jnp.float32)
+    t = jnp.full(logits_per_stage.shape[1:], target, dtype=jnp.float32)
+    per_stage = jax.vmap(lambda lg: bce_with_logits(lg, t))(logits_per_stage)
+    return jnp.sum(w * per_stage)
+
+
+def z_similarity_loss(delta: jnp.ndarray) -> jnp.ndarray:
+    """Mean squared correction magnitude: ||z' - z||² / dim — the
+    similarity constraint (weight lambda_r) keeping corrected codes close
+    to the originals (reference C7/C8 mechanism, SURVEY.md §3.3)."""
+    return jnp.mean(jnp.square(delta.astype(jnp.float32)))

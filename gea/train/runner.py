@@ -1,0 +1,153 @@
+"""Shared host-side training-loop machinery for the three trainers
+(G-LIS, R-separate, R-iterative): run-dir setup, mesh resolution, input
+iterator wiring, periodic observability (stdout losses, loss-curve PNG,
+per-stage sample grids), checkpointing and throughput metering — the
+reference's train-script scaffolding (SURVEY.md §3.1 'periodic' branch)
+factored into one place."""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gea.data.ondevice import preprocess_batch
+from gea.data.pipeline import make_dataset
+from gea.data.prefetch import device_prefetch
+from gea.parallel import make_mesh
+from gea.parallel.dp import batch_sharding
+from gea.utils.checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from gea.utils.grids import save_stage_grids
+from gea.utils.meters import ThroughputMeter
+from gea.utils.plotting import LossPlotter
+
+
+def prepare_run(cfg) -> str:
+    run_dir = os.path.abspath(cfg.save_path)
+    os.makedirs(run_dir, exist_ok=True)
+    cfg.save(os.path.join(run_dir, "config.json"))
+    return run_dir
+
+
+def resolve_mesh(cfg):
+    """None for a single device, a 1-axis mesh otherwise."""
+    n = cfg.num_devices or len(jax.devices())
+    if n <= 1:
+        return None
+    return make_mesh(n)
+
+
+def input_iterator(
+    cfg, mesh, seed: int
+) -> Tuple[Iterator[jax.Array], Callable[[jax.Array, jax.Array], jax.Array]]:
+    """Returns (device uint8 batch iterator, jitted preprocess fn)."""
+    ds = make_dataset(cfg, seed=seed)
+    sharding = batch_sharding(mesh) if mesh is not None else None
+    it = device_prefetch(ds.batches(), sharding=sharding, depth=2)
+
+    def preprocess(raw: jax.Array, rng: jax.Array) -> jax.Array:
+        return preprocess_batch(
+            raw,
+            rng,
+            crop_size=cfg.crop_size,
+            image_size=cfg.image_size,
+            augment_flip=cfg.augment_flip,
+        )
+
+    return it, preprocess
+
+
+def maybe_resume(cfg, state):
+    """Reference resume contract: --load_path restores an earlier run; an
+    existing checkpoint in --save_path auto-resumes (elastic-lite,
+    SURVEY.md §5 'Failure detection')."""
+    source = cfg.load_path or (
+        cfg.save_path if latest_step(cfg.save_path) is not None else ""
+    )
+    if not source or latest_step(source) is None:
+        return state, 0
+    restored = restore_checkpoint(source, state)
+    start = int(np.asarray(restored.step))
+    print(f"[gea] resumed from {source} at step {start}")
+    return restored, start
+
+
+class TrainLoop:
+    """Drives step_fn over the input stream with the reference's periodic
+    side-effects. step_fn: (state, real_batch) -> (state, metrics)."""
+
+    def __init__(
+        self,
+        cfg,
+        run_dir: str,
+        state,
+        step_fn,
+        data_iter,
+        preprocess,
+        vis_fn: Optional[Callable[[Any, int], None]] = None,
+        num_chips: int = 1,
+        loss_keys: Tuple[str, ...] = ("loss_d", "loss_g"),
+    ):
+        self.cfg = cfg
+        self.run_dir = run_dir
+        self.state = state
+        self.step_fn = step_fn
+        self.data_iter = data_iter
+        self.preprocess = preprocess
+        self.vis_fn = vis_fn
+        self.num_chips = num_chips
+        self.loss_keys = loss_keys
+        self.plotter = LossPlotter()
+        self.meter = ThroughputMeter(cfg.batch_size)
+        self._data_rng = jax.random.PRNGKey(cfg.seed ^ 0x5EED)
+
+    def run(self, start_step: int) -> Any:
+        cfg = self.cfg
+        profiling = False
+        for it in range(start_step, cfg.niter):
+            raw = next(self.data_iter)
+            self._data_rng, prng = jax.random.split(self._data_rng)
+            real = self.preprocess(raw, prng)
+            self.state, metrics = self.step_fn(self.state, real)
+            self.meter.tick()
+
+            profile_dir = getattr(cfg, "profile_dir", "")
+            if profile_dir and it == start_step + 10:
+                jax.profiler.start_trace(profile_dir)
+                profiling = True
+            if profiling and it == start_step + 15:
+                jax.block_until_ready(self.state.params_g)
+                jax.profiler.stop_trace()
+                profiling = False
+
+            step_now = it + 1
+            if step_now % cfg.log_interval == 0 or step_now == 1:
+                m = {k: float(metrics[k]) for k in metrics}
+                stats = self.meter.stats(self.num_chips)
+                self.plotter.add(
+                    step_now, **{k: m[k] for k in self.loss_keys if k in m}
+                )
+                extras = " ".join(
+                    f"{k}={v:.4f}" for k, v in m.items() if k not in self.loss_keys
+                )
+                print(
+                    f"[gea] iter {step_now}/{cfg.niter} "
+                    + " ".join(f"{k}={m[k]:.4f}" for k in self.loss_keys if k in m)
+                    + (f" {extras}" if extras else "")
+                    + f" | {stats['images_per_sec']:.1f} img/s"
+                    f" ({stats['images_per_sec_per_chip']:.1f}/chip)",
+                    flush=True,
+                )
+
+            if step_now % cfg.vis_interval == 0 and self.vis_fn is not None:
+                self.vis_fn(self.state, step_now)
+                self.plotter.plot(os.path.join(self.run_dir, "plots", "loss.png"))
+
+            if step_now % cfg.save_interval == 0 or step_now == cfg.niter:
+                save_checkpoint(self.run_dir, step_now, self.state)
+
+        return self.state

@@ -1,0 +1,169 @@
+"""Jitted alternating G/D train step for G-LIS (reference C5:
+`g_lis/train.py`'s hot loop, SURVEY.md §3.1).
+
+Semantics matched to the reference:
+
+* one step = (1) D update on real batch + all LIS-stage fakes (detached),
+  then (2) G update against the freshly-updated D, with per-stage
+  adversarial-loss weights (final stage highest).
+* BCE-with-logits objective; Adam for both players.
+
+TPU-native structure:
+
+* The whole step is ONE pure function compiled once by XLA — the LIS chain
+  and stage count are static Python constants (no recompiles, SURVEY.md §7
+  hard part #2); stage renders run as a single `n_stages * B` batch through
+  the conv core so every conv hits the MXU at full tile occupancy.
+* Data parallelism: the same step function, built with `axis_name="data"`,
+  runs under shard_map over a 1-axis mesh; gradients and metrics are
+  reduced with `lax.pmean` (a psum over ICI) before the optimizer update,
+  so every replica applies identical updates to its replicated params
+  (SURVEY.md §2 'Parallelism strategies').
+* The state pytree is donated by callers (`jit(..., donate_argnums=0)`) so
+  params/opt-state buffers are reused in place — no HBM double-booking.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+
+from gea.config import TrainGLISConfig, stage_weights
+from gea.models import Discriminator, GeneratorLIS
+from gea.train import losses
+from gea.train.state import GANTrainState
+
+Metrics = Dict[str, jnp.ndarray]
+
+
+def _maybe_pmean(tree: Any, axis_name: Optional[str]) -> Any:
+    if axis_name is None:
+        return tree
+    return lax.pmean(tree, axis_name)
+
+
+def _apply_model(model, params, extras, *args, train: bool, **kw):
+    """Apply a flax module, tolerating mutable collections (batch norm)."""
+    variables = {"params": params, **extras}
+    if extras:  # batch_stats present -> allow (and capture) mutation
+        out, new_vars = model.apply(
+            variables, *args, train=train, mutable=list(extras.keys()), **kw
+        )
+        return out, dict(new_vars)
+    return model.apply(variables, *args, train=train, **kw), extras
+
+
+def build_glis_train_step(
+    cfg: TrainGLISConfig,
+    generator: GeneratorLIS,
+    discriminator: Discriminator,
+    tx_g: optax.GradientTransformation,
+    tx_d: optax.GradientTransformation,
+    axis_name: Optional[str] = None,
+) -> Callable[[GANTrainState, jnp.ndarray], Tuple[GANTrainState, Metrics]]:
+    """Returns step(state, real_images) -> (state, metrics).
+
+    `real_images`: (local_batch, H, W, 3) float32 in [-1, 1]. When
+    `axis_name` is set the function must run inside shard_map/pmap over
+    that axis and `real_images` is the per-device shard.
+    """
+    weights = stage_weights(cfg)
+    n_stages = generator.n_stages
+
+    def step(state: GANTrainState, real: jnp.ndarray):
+        batch = real.shape[0]
+        step_rng = jax.random.fold_in(state.rng, state.step)
+        if axis_name is not None:
+            # Device-unique noise; params stay replicated.
+            step_rng = jax.random.fold_in(step_rng, lax.axis_index(axis_name))
+        z_rng, sn_rng = jax.random.split(step_rng)
+        z = jax.random.normal(z_rng, (batch, cfg.code_size), jnp.float32)
+        sn_shape = generator.spatial_noise_shape(batch)
+        sn = (
+            jax.random.normal(sn_rng, sn_shape, jnp.float32)
+            if sn_shape
+            else None
+        )
+
+        # ------------------------------------------------ D step (fakes detached)
+        fakes, _zs = _apply_model(
+            generator,
+            state.params_g,
+            state.extras_g,
+            z,
+            train=True,
+            spatial_noise=sn,
+        )[0]
+        fakes = lax.stop_gradient(fakes)  # (S, B, H, W, 3)
+        flat_fakes = fakes.reshape(-1, *fakes.shape[2:])
+
+        def d_loss_fn(params_d):
+            logits_real, new_extras = _apply_model(
+                discriminator, params_d, state.extras_d, real, train=True
+            )
+            logits_fake, new_extras2 = _apply_model(
+                discriminator, params_d, new_extras, flat_fakes, train=True
+            )
+            logits_fake = logits_fake.reshape(n_stages, batch)
+            loss = losses.d_real_loss(logits_real) + losses.staged_loss(
+                logits_fake, weights, 0.0
+            )
+            return loss, (new_extras2, logits_real, logits_fake)
+
+        (loss_d, (extras_d, logits_real, logits_fake_d)), grads_d = (
+            jax.value_and_grad(d_loss_fn, has_aux=True)(state.params_d)
+        )
+        grads_d = _maybe_pmean(grads_d, axis_name)
+        updates_d, opt_d = tx_d.update(grads_d, state.opt_d, state.params_d)
+        params_d = optax.apply_updates(state.params_d, updates_d)
+
+        # ------------------------------------------------ G step (vs updated D)
+        def g_loss_fn(params_g):
+            (images, _), new_extras_g = _apply_model(
+                generator,
+                params_g,
+                state.extras_g,
+                z,
+                train=True,
+                spatial_noise=sn,
+            )
+            flat = images.reshape(-1, *images.shape[2:])
+            logits, _ = _apply_model(
+                discriminator, params_d, extras_d, flat, train=True
+            )
+            logits = logits.reshape(n_stages, batch)
+            loss = losses.staged_loss(logits, weights, 1.0)
+            return loss, (new_extras_g, logits)
+
+        (loss_g, (extras_g, logits_fake_g)), grads_g = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(state.params_g)
+        grads_g = _maybe_pmean(grads_g, axis_name)
+        updates_g, opt_g = tx_g.update(grads_g, state.opt_g, state.params_g)
+        params_g = optax.apply_updates(state.params_g, updates_g)
+
+        metrics: Metrics = {
+            "loss_d": loss_d,
+            "loss_g": loss_g,
+            "d_real": jnp.mean(jax.nn.sigmoid(logits_real)),
+            "d_fake_final": jnp.mean(jax.nn.sigmoid(logits_fake_d[-1])),
+        }
+        metrics = _maybe_pmean(metrics, axis_name)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params_g=params_g,
+            params_d=params_d,
+            extras_g=extras_g,
+            extras_d=extras_d,
+            opt_g=opt_g,
+            opt_d=opt_d,
+        )
+        return new_state, metrics
+
+    return step

@@ -1,0 +1,255 @@
+"""Reverser train steps (reference C7/C8, SURVEY.md §3.3/§3.4 — mechanism
+[H], exact loss forms [M]; reference mount empty, see SURVEY.md §0).
+
+R-separate (`r_separate/train_r.py` equivalent):
+    The generator is FROZEN (loaded from a finished G-LIS run). R learns to
+    invert the rendering core: given the final-stage image it predicts the
+    code that produced it, by minimizing ||R(G(z)) - z||^2 over fresh noise.
+    At inference the correction G(R(G(z))) moves defective codes toward
+    regions R has learned map to well-formed images — purely post-hoc
+    input-space error avoidance. No real data is needed: the frozen G is
+    the data source, so the step is fully on-device with zero input
+    pipeline.
+
+R-iterative (`r_iterative/train.py` equivalent):
+    G, D, R train jointly. Each step unrolls the correction chain
+    z_t = z_{t-1} + R(G(z_{t-1})) for `r_chain_length` iterations (a static
+    Python loop — one compiled program), renders an image per link, gives
+    every link's image discriminator feedback (final link weighted highest)
+    and penalizes correction magnitude with lambda_r * ||z_t - z_{t-1}||^2
+    so corrected codes stay near the originals.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+
+from gea.config import TrainRIterativeConfig, TrainRSeparateConfig
+from gea.models import Discriminator, GeneratorLIS, Reverter
+from gea.train import losses
+from gea.train.state import GANTrainState
+
+Metrics = Dict[str, jnp.ndarray]
+
+
+def _maybe_pmean(tree: Any, axis_name: Optional[str]) -> Any:
+    if axis_name is None:
+        return tree
+    return lax.pmean(tree, axis_name)
+
+
+def build_r_separate_step(
+    cfg: TrainRSeparateConfig,
+    generator: GeneratorLIS,
+    reverter: Reverter,
+    frozen_g_variables: Any,
+    tx_r: optax.GradientTransformation,
+    axis_name: Optional[str] = None,
+) -> Callable[[GANTrainState, jnp.ndarray], Tuple[GANTrainState, Metrics]]:
+    """step(state, _unused) -> (state, metrics). The second argument is
+    accepted (and ignored) so the generic TrainLoop can drive this step;
+    pass a dummy batch."""
+
+    def step(state: GANTrainState, _unused: jnp.ndarray):
+        batch = cfg.batch_size
+        if axis_name is not None:
+            batch = batch // lax.psum(1, axis_name)
+        step_rng = jax.random.fold_in(state.rng, state.step)
+        if axis_name is not None:
+            step_rng = jax.random.fold_in(step_rng, lax.axis_index(axis_name))
+        z_rng, sn_rng = jax.random.split(step_rng)
+        z = jax.random.normal(z_rng, (batch, cfg.code_size), jnp.float32)
+        sn_shape = generator.spatial_noise_shape(batch)
+        sn = (
+            jax.random.normal(sn_rng, sn_shape, jnp.float32)
+            if sn_shape
+            else None
+        )
+
+        # Frozen G: inference mode, no param gradients.
+        images, zs = generator.apply(
+            frozen_g_variables,
+            z,
+            spatial_noise=sn,
+            train=False,
+            render_all_stages=True,
+        )
+        final_img = lax.stop_gradient(images[-1])
+        target_code = lax.stop_gradient(zs[-1])
+
+        def r_loss_fn(params_r):
+            variables = {"params": params_r, **state.extras_r}
+            if state.extras_r:
+                z_pred, new_extras = reverter.apply(
+                    variables,
+                    final_img,
+                    train=True,
+                    mutable=list(state.extras_r.keys()),
+                )
+                new_extras = dict(new_extras)
+            else:
+                z_pred = reverter.apply(variables, final_img, train=True)
+                new_extras = state.extras_r
+            loss = jnp.mean(jnp.square(z_pred - target_code))
+            return loss, (new_extras, z_pred)
+
+        (loss_r, (extras_r, z_pred)), grads_r = jax.value_and_grad(
+            r_loss_fn, has_aux=True
+        )(state.params_r)
+        grads_r = _maybe_pmean(grads_r, axis_name)
+        updates_r, opt_r = tx_r.update(grads_r, state.opt_r, state.params_r)
+        params_r = optax.apply_updates(state.params_r, updates_r)
+
+        metrics: Metrics = {
+            "loss_r": loss_r,
+            "correction_norm": jnp.mean(
+                jnp.linalg.norm(z_pred - target_code, axis=-1)
+            ),
+        }
+        metrics = _maybe_pmean(metrics, axis_name)
+        new_state = state.replace(
+            step=state.step + 1,
+            params_r=params_r,
+            extras_r=extras_r,
+            opt_r=opt_r,
+        )
+        return new_state, metrics
+
+    return step
+
+
+def build_r_iterative_step(
+    cfg: TrainRIterativeConfig,
+    generator: GeneratorLIS,
+    discriminator: Discriminator,
+    reverter: Reverter,
+    tx_g: optax.GradientTransformation,
+    tx_d: optax.GradientTransformation,
+    tx_r: optax.GradientTransformation,
+    axis_name: Optional[str] = None,
+) -> Callable[[GANTrainState, jnp.ndarray], Tuple[GANTrainState, Metrics]]:
+    """Joint G/D/R step. `generator` here is the plain conv core
+    (r_iterations=0 — the R-iterative approach predates LIS modules)."""
+    n_links = cfg.r_chain_length + 1  # images: img_0 .. img_T
+    # Final link weighted highest, like the staged G-LIS loss.
+    raw_w = [0.5 + 0.5 * i / max(1, n_links - 1) for i in range(n_links)]
+    weights = tuple(w / sum(raw_w) for w in raw_w)
+
+    def unroll(params_g, extras_g, params_r, extras_r, z0, sn, train: bool):
+        """Chain: z_t = z_{t-1} + R(img_{t-1}); returns stacked images
+        (T+1, B, H, W, 3), zs (T+1, B, code)."""
+        g_vars = {"params": params_g, **extras_g}
+        r_vars = {"params": params_r, **extras_r}
+
+        def g_render(z):
+            out = generator.apply(g_vars, z, spatial_noise=sn, train=False)
+            return out[0][0]  # (B, H, W, 3): single-stage generator
+
+        zs = [z0]
+        imgs = [g_render(z0)]
+        for _ in range(cfg.r_chain_length):
+            delta = reverter.apply(r_vars, imgs[-1], train=False)
+            z_next = zs[-1] + delta
+            zs.append(z_next)
+            imgs.append(g_render(z_next))
+        return jnp.stack(imgs), jnp.stack(zs)
+
+    def step(state: GANTrainState, real: jnp.ndarray):
+        batch = real.shape[0]
+        step_rng = jax.random.fold_in(state.rng, state.step)
+        if axis_name is not None:
+            step_rng = jax.random.fold_in(step_rng, lax.axis_index(axis_name))
+        z_rng, sn_rng = jax.random.split(step_rng)
+        z0 = jax.random.normal(z_rng, (batch, cfg.code_size), jnp.float32)
+        sn_shape = generator.spatial_noise_shape(batch)
+        sn = (
+            jax.random.normal(sn_rng, sn_shape, jnp.float32)
+            if sn_shape
+            else None
+        )
+
+        # ---------------------------------------------- D step (detached)
+        fakes, _ = unroll(
+            state.params_g,
+            state.extras_g,
+            state.params_r,
+            state.extras_r,
+            z0,
+            sn,
+            train=True,
+        )
+        fakes = lax.stop_gradient(fakes)
+        flat_fakes = fakes.reshape(-1, *fakes.shape[2:])
+
+        def d_loss_fn(params_d):
+            d_vars = {"params": params_d, **state.extras_d}
+            logits_real = discriminator.apply(d_vars, real, train=False)
+            logits_fake = discriminator.apply(d_vars, flat_fakes, train=False)
+            logits_fake = logits_fake.reshape(n_links, batch)
+            loss = losses.d_real_loss(logits_real) + losses.staged_loss(
+                logits_fake, weights, 0.0
+            )
+            return loss, (logits_real, logits_fake)
+
+        (loss_d, (logits_real, _)), grads_d = jax.value_and_grad(
+            d_loss_fn, has_aux=True
+        )(state.params_d)
+        grads_d = _maybe_pmean(grads_d, axis_name)
+        updates_d, opt_d = tx_d.update(grads_d, state.opt_d, state.params_d)
+        params_d = optax.apply_updates(state.params_d, updates_d)
+
+        # -------------------------------------- joint G+R step (vs new D)
+        def gr_loss_fn(params_gr):
+            params_g, params_r = params_gr
+            images, zs = unroll(
+                params_g,
+                state.extras_g,
+                params_r,
+                state.extras_r,
+                z0,
+                sn,
+                train=True,
+            )
+            flat = images.reshape(-1, *images.shape[2:])
+            d_vars = {"params": params_d, **state.extras_d}
+            logits = discriminator.apply(d_vars, flat, train=False)
+            logits = logits.reshape(n_links, batch)
+            adv = losses.staged_loss(logits, weights, 1.0)
+            sim = losses.z_similarity_loss(zs[1:] - zs[:-1])
+            return adv + cfg.lambda_r * sim, (adv, sim)
+
+        (loss_gr, (adv, sim)), grads_gr = jax.value_and_grad(
+            gr_loss_fn, has_aux=True
+        )((state.params_g, state.params_r))
+        grads_g, grads_r = grads_gr
+        grads_g = _maybe_pmean(grads_g, axis_name)
+        grads_r = _maybe_pmean(grads_r, axis_name)
+        updates_g, opt_g = tx_g.update(grads_g, state.opt_g, state.params_g)
+        params_g = optax.apply_updates(state.params_g, updates_g)
+        updates_r, opt_r = tx_r.update(grads_r, state.opt_r, state.params_r)
+        params_r = optax.apply_updates(state.params_r, updates_r)
+
+        metrics: Metrics = {
+            "loss_d": loss_d,
+            "loss_g": adv,
+            "loss_r_sim": sim,
+            "d_real": jnp.mean(jax.nn.sigmoid(logits_real)),
+        }
+        metrics = _maybe_pmean(metrics, axis_name)
+        new_state = state.replace(
+            step=state.step + 1,
+            params_g=params_g,
+            params_d=params_d,
+            params_r=params_r,
+            opt_g=opt_g,
+            opt_d=opt_d,
+            opt_r=opt_r,
+        )
+        return new_state, metrics
+
+    return step

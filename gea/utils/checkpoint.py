@@ -1,0 +1,57 @@
+"""Checkpoint / resume (reference C10: `torch.save(state_dict)` every
+`--save_interval` under `--save_path`, resume via `--load_path`;
+SURVEY.md §5 'Checkpoint / resume').
+
+TPU-native: orbax PyTreeCheckpointer over the whole GANTrainState pytree
+(params, optimizer states, step counter, PRNG key, batch_stats). The run
+directory layout is a **public cross-tool interface** — the R-separate
+trainer loads a frozen generator from a G-LIS run dir (SURVEY.md §7 hard
+part #7):
+
+    <save_path>/
+      config.json            # the run's full flag set
+      checkpoints/<step>/    # orbax pytree checkpoints
+      samples/               # per-stage sample grids (PNG)
+      plots/loss.png         # loss curves
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _ckpt_root(run_dir: str) -> str:
+    return os.path.join(os.path.abspath(run_dir), "checkpoints")
+
+
+def save_checkpoint(run_dir: str, step: int, state: Any) -> None:
+    path = os.path.join(_ckpt_root(run_dir), str(step))
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, jax.device_get(state), force=True)
+
+
+def latest_step(run_dir: str) -> Optional[int]:
+    root = _ckpt_root(run_dir)
+    if not os.path.isdir(root):
+        return None
+    steps = [int(d) for d in os.listdir(root) if re.fullmatch(r"\d+", d)]
+    return max(steps) if steps else None
+
+
+def restore_checkpoint(run_dir: str, target: Any, step: Optional[int] = None) -> Any:
+    """Restore into the structure of `target` (an abstract or concrete
+    GANTrainState). Picks the latest step when none is given — the
+    'auto-resume-from-latest' elastic-lite contract (SURVEY.md §5)."""
+    if step is None:
+        step = latest_step(run_dir)
+    if step is None:
+        raise FileNotFoundError(f"no checkpoints under {run_dir!r}")
+    path = os.path.join(_ckpt_root(run_dir), str(step))
+    ckptr = ocp.PyTreeCheckpointer()
+    restored = ckptr.restore(path, item=jax.device_get(target))
+    return restored

@@ -1,0 +1,31 @@
+"""Test environment: force JAX onto CPU with 8 virtual devices so the
+data-parallel (mesh/shard_map/psum) paths are exercised without TPU hardware
+(SURVEY.md §4 'Distributed without a cluster'). Must run before jax imports."""
+
+import os
+
+# Force CPU even when the ambient environment selects a TPU platform
+# (JAX_PLATFORMS=axon): tests need the 8-virtual-device CPU mesh, and must
+# not hold the single real TPU chip. Override with GEA_TEST_PLATFORM=tpu to
+# run the suite on hardware.
+os.environ["JAX_PLATFORMS"] = os.environ.get("GEA_TEST_PLATFORM", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The environment's sitecustomize imports jax before conftest runs, so the
+# env var alone is too late — update the live config too.
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,155 @@
+"""Config round-trips, data pipeline, grids/plotting/meters
+(SURVEY.md §4 'Unit'/'Integration')."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gea.config import (
+    SampleConfig,
+    TrainGLISConfig,
+    TrainRIterativeConfig,
+    TrainRSeparateConfig,
+    stage_weights,
+)
+
+
+def test_config_argparse_roundtrip():
+    cfg = TrainGLISConfig.from_args(
+        [
+            "--dataset", "synthetic", "--image_size", "64", "--code_size", "128",
+            "--norm", "batch", "--r_iterations", "2", "--lr", "3e-4",
+            "--batch_size", "32", "--save_path", "/tmp/x",
+            "--include_initial_image", "false",
+        ]
+    )
+    assert cfg.image_size == 64
+    assert cfg.code_size == 128
+    assert cfg.norm == "batch"
+    assert cfg.r_iterations == 2
+    assert cfg.lr == 3e-4
+    assert cfg.include_initial_image is False
+    assert cfg.n_stages == 2
+
+
+def test_config_json_roundtrip(tmp_path):
+    cfg = TrainGLISConfig(image_size=64, r_iterations=1, dataset="synthetic")
+    p = str(tmp_path / "config.json")
+    cfg.save(p)
+    cfg2 = TrainGLISConfig.load(p)
+    assert cfg2 == cfg
+
+
+def test_stage_weights_final_highest():
+    cfg = TrainGLISConfig(r_iterations=3)
+    w = stage_weights(cfg)
+    assert len(w) == cfg.n_stages == 4
+    assert abs(sum(w) - 1.0) < 1e-9
+    assert w[-1] == max(w)
+    assert all(w[i] <= w[i + 1] for i in range(len(w) - 1))
+    assert stage_weights(TrainGLISConfig(r_iterations=0)) == (1.0,)
+
+
+def test_r_configs_have_reference_flags():
+    cfg = TrainRSeparateConfig.from_args(["--lambda_r", "0.5", "--g_path", "/x"])
+    assert cfg.lambda_r == 0.5 and cfg.g_path == "/x"
+    cfg2 = TrainRIterativeConfig.from_args(["--r_chain_length", "3"])
+    assert cfg2.r_chain_length == 3
+
+
+def test_synthetic_dataset_batches():
+    from gea.data.pipeline import SyntheticDataset
+
+    ds = SyntheticDataset(batch_size=4, decode_size=32, seed=1)
+    it = ds.batches()
+    b = next(it)
+    assert b.shape == (4, 32, 32, 3) and b.dtype == np.uint8
+    b2 = next(it)
+    assert not np.array_equal(b, b2)
+
+
+def test_folder_dataset(tmp_path):
+    from PIL import Image
+
+    from gea.data.pipeline import FolderDataset
+
+    for i in range(6):
+        arr = (np.random.default_rng(i).random((48, 40, 3)) * 255).astype(
+            np.uint8
+        )
+        Image.fromarray(arr).save(tmp_path / f"img{i}.png")
+    ds = FolderDataset(str(tmp_path), batch_size=3, decode_size=32, workers=2)
+    b = next(ds.batches())
+    assert b.shape == (3, 32, 32, 3) and b.dtype == np.uint8
+
+
+def test_preprocess_batch():
+    from gea.data.ondevice import preprocess_batch
+
+    raw = jnp.asarray(
+        (np.random.default_rng(0).random((4, 48, 48, 3)) * 255).astype(np.uint8)
+    )
+    out = preprocess_batch(
+        raw, jax.random.PRNGKey(0), crop_size=40, image_size=32
+    )
+    assert out.shape == (4, 32, 32, 3)
+    assert out.dtype == jnp.float32
+    o = np.asarray(out)
+    assert o.min() >= -1.0 - 1e-5 and o.max() <= 1.0 + 1e-5
+
+
+def test_preprocess_no_flip_deterministic():
+    from gea.data.ondevice import preprocess_batch
+
+    raw = jnp.asarray(
+        (np.random.default_rng(0).random((2, 40, 40, 3)) * 255).astype(np.uint8)
+    )
+    a = preprocess_batch(
+        raw, jax.random.PRNGKey(0), crop_size=40, image_size=40,
+        augment_flip=False,
+    )
+    # identity path: crop==decode size, no resize, no flip
+    np.testing.assert_allclose(
+        np.asarray(a), np.asarray(raw, np.float32) / 127.5 - 1.0, atol=1e-6
+    )
+
+
+def test_grids_tile_and_save(tmp_path):
+    from gea.utils.grids import save_image_grid, tile_grid, to_uint8
+
+    imgs = np.random.default_rng(0).uniform(-1, 1, (9, 8, 8, 3)).astype(
+        np.float32
+    )
+    grid = tile_grid(to_uint8(imgs), rows=3)
+    assert grid.shape == (3 * 10 - 2, 3 * 10 - 2, 3)
+    p = str(tmp_path / "g.png")
+    save_image_grid(imgs, p, rows=3)
+    assert os.path.exists(p)
+
+
+def test_loss_plotter(tmp_path):
+    from gea.utils.plotting import LossPlotter
+
+    lp = LossPlotter()
+    for i in range(10):
+        lp.add(i, loss_d=1.0 / (i + 1), loss_g=0.5)
+    p = str(tmp_path / "loss.png")
+    lp.plot(p)
+    assert os.path.exists(p)
+
+
+def test_throughput_meter():
+    from gea.utils.meters import ThroughputMeter
+
+    m = ThroughputMeter(batch_size=16, warmup_steps=1)
+    for _ in range(5):
+        m.tick()
+    s = m.stats(num_chips=2)
+    assert s["images_per_sec"] > 0
+    assert s["images_per_sec_per_chip"] == pytest.approx(
+        s["images_per_sec"] / 2
+    )
