@@ -1,0 +1,113 @@
+"""Benchmark: images/sec/chip of the flagship G+D alternating train step
+(G-LIS, 3 LIS modules, weight norm, CelebA-shaped synthetic data at 80x80,
+bfloat16 compute) — the BASELINE.json north-star metric.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+`vs_baseline` compares against the measured PyTorch reference throughput in
+BASELINE_MEASURED.json (produced by benchmarks/torch_reference.py — the
+torch-CPU build is the only PyTorch device available in this image; see
+BASELINE.md: the reference publishes no numbers, so the build measures its
+own baseline). Falls back to vs_baseline = 0.0 when no measurement exists.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+# Flagship config (BASELINE.json config 3 shape; batch sized for MXU
+# occupancy on a single chip).
+IMAGE_SIZE = 80
+CODE_SIZE = 256
+R_ITERATIONS = 3
+BATCH = int(os.environ.get("GEA_BENCH_BATCH", "256"))
+WARMUP = 3
+STEPS = int(os.environ.get("GEA_BENCH_STEPS", "20"))
+
+
+def main() -> None:
+    from gea.config import TrainGLISConfig
+    from gea.models import Discriminator, GeneratorLIS
+    from gea.train.state import create_glis_state, make_optimizer
+    from gea.train.steps import build_glis_train_step
+
+    platform = jax.devices()[0].platform
+    cfg = TrainGLISConfig(
+        image_size=IMAGE_SIZE,
+        code_size=CODE_SIZE,
+        r_iterations=R_ITERATIONS,
+        norm="weight",
+        num_features=64,
+        max_features=512,
+        dtype="bfloat16",
+        dataset="synthetic",
+        batch_size=BATCH,
+        lr=2e-4,
+        # XLA path measured fastest (see benchmarks/KERNELS.md); flip with
+        # GEA_BENCH_PALLAS=1 to bench the Pallas LIS-kernel path.
+        use_pallas=os.environ.get("GEA_BENCH_PALLAS", "0") == "1",
+    )
+    generator = GeneratorLIS.from_config(cfg)
+    discriminator = Discriminator.from_config(cfg)
+    tx_g = make_optimizer(cfg.lr, cfg.beta1, cfg.beta2)
+    tx_d = make_optimizer(cfg.lr, cfg.beta1, cfg.beta2)
+    state = create_glis_state(cfg, generator, discriminator, tx_g, tx_d, 0)
+    step = jax.jit(
+        build_glis_train_step(cfg, generator, discriminator, tx_g, tx_d),
+        donate_argnums=0,
+    )
+
+    real = jnp.asarray(
+        np.random.default_rng(0)
+        .uniform(-1, 1, (BATCH, IMAGE_SIZE, IMAGE_SIZE, 3))
+        .astype(np.float32)
+    )
+    real = jax.device_put(real)
+
+    for _ in range(WARMUP):
+        state, metrics = step(state, real)
+    # Force full execution via a host transfer: on the tunneled axon
+    # platform block_until_ready does not reliably synchronize, and the
+    # step chain (state -> state) guarantees a final-metric read implies
+    # every step ran.
+    float(metrics["loss_d"])
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, metrics = step(state, real)
+    float(metrics["loss_d"])
+    dt = time.perf_counter() - t0
+
+    images_per_sec = BATCH * STEPS / dt
+
+    baseline = 0.0
+    baseline_path = os.path.join(REPO, "BASELINE_MEASURED.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline = float(
+                json.load(f).get("torch_reference_images_per_sec", 0.0)
+            )
+
+    result = {
+        "metric": (
+            "images/sec/chip, G+D alternating step, G-LIS-3 80x80 bf16 "
+            f"batch={BATCH} [{platform}]"
+        ),
+        "value": round(images_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(images_per_sec / baseline, 3) if baseline else 0.0,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -34,6 +34,7 @@ class DiscriminatorTrunk(nn.Module):
     num_features: int = 64
     max_features: int = 512
     dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -56,6 +57,8 @@ class DiscriminatorTrunk(nn.Module):
                 # DCGAN convention: no norm on the first block.
                 x = nn.leaky_relu(x, negative_slope=0.2)
             else:
+                # XLA path on purpose — see GeneratorCore note on the
+                # Pallas TPReLU epilogue benchmark.
                 x = NormAct(
                     norm=self.norm, dtype=self.dtype, name=f"down{i}_act"
                 )(x, train=train)
@@ -70,6 +73,7 @@ class Discriminator(nn.Module):
     num_features: int = 64
     max_features: int = 512
     dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @classmethod
     def from_config(cls, cfg: ModelConfig, **overrides: Any) -> "Discriminator":
@@ -79,6 +83,7 @@ class Discriminator(nn.Module):
             num_features=cfg.num_features,
             max_features=cfg.max_features,
             dtype=jnp.dtype(cfg.dtype),
+            use_pallas=getattr(cfg, "use_pallas", False),
         )
         kw.update(overrides)
         return cls(**kw)
@@ -91,6 +96,7 @@ class Discriminator(nn.Module):
             num_features=self.num_features,
             max_features=self.max_features,
             dtype=self.dtype,
+            use_pallas=self.use_pallas,
             name="trunk",
         )(x, train=train)
         logits = Dense(

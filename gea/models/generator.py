@@ -59,26 +59,78 @@ class LISModule(nn.Module):
     The MLP is Dense(code -> hidden) -> act -> Dense(hidden -> code); the
     residual add keeps the module an identity-like perturbation of the
     noise vector, which is the error-avoidance mechanism of arXiv:1707.00768.
+
+    Parameters are owned flat (not nested submodules) so the fused Pallas
+    kernel (gea/ops/pallas/lis.py) and the XLA fallback consume the SAME
+    parameter tree — checkpoints are interchangeable between paths.
+    With ``norm != "weight"`` the activation is LeakyReLU(0.2), expressed
+    as a TPReLU with fixed slope 0.2 and zero translation so both paths
+    share one formula.
     """
 
     code_size: int
     hidden_mult: int = 1
     norm: str = "weight"
     dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+        from gea.ops.layers import normalize_weight
+        from gea.ops.pallas import pallas_available
+        from gea.ops.pallas.lis import (
+            lis_residual_mlp,
+            lis_residual_mlp_reference,
+        )
+
         wn = self.norm == "weight"
         hidden = self.code_size * self.hidden_mult
-        h = Dense(hidden, weight_norm=wn, dtype=self.dtype, name="fc1")(z)
+        init = nn.initializers.lecun_normal()
+        v1 = self.param("fc1_kernel", init, (self.code_size, hidden), jnp.float32)
+        b1 = self.param("fc1_bias", nn.initializers.zeros, (hidden,), jnp.float32)
+        v2 = self.param("fc2_kernel", init, (hidden, self.code_size), jnp.float32)
+        b2 = self.param(
+            "fc2_bias", nn.initializers.zeros, (self.code_size,), jnp.float32
+        )
         if wn:
-            h = TPReLU(dtype=self.dtype, name="act")(h)
+            g1 = self.param("fc1_scale", nn.initializers.ones, (hidden,), jnp.float32)
+            g2 = self.param(
+                "fc2_scale", nn.initializers.ones, (self.code_size,), jnp.float32
+            )
+            w1 = normalize_weight(v1, g1, reduce_axes=(0,))
+            w2 = normalize_weight(v2, g2, reduce_axes=(0,))
+            slope = self.param(
+                "slope", nn.initializers.constant(0.25), (hidden,), jnp.float32
+            )
+            trans = self.param(
+                "translation", nn.initializers.zeros, (hidden,), jnp.float32
+            )
         else:
-            h = nn.leaky_relu(h, negative_slope=0.2)
-        delta = Dense(
-            self.code_size, weight_norm=wn, dtype=self.dtype, name="fc2"
-        )(h)
-        return z + delta
+            w1, w2 = v1, v2
+            slope = jnp.full((hidden,), 0.2, jnp.float32)
+            trans = jnp.zeros((hidden,), jnp.float32)
+
+        zc = z.astype(self.dtype)
+        args = (
+            zc,
+            w1.astype(self.dtype),
+            b1,
+            slope,
+            trans,
+            w2.astype(self.dtype),
+            b2,
+        )
+        if self.use_pallas and pallas_available():
+            return lis_residual_mlp(*args)
+        return lis_residual_mlp_reference(
+            zc,
+            w1.astype(self.dtype),
+            b1.astype(self.dtype),
+            slope.astype(self.dtype),
+            trans.astype(self.dtype),
+            w2.astype(self.dtype),
+            b2.astype(self.dtype),
+        )
 
 
 class GeneratorCore(nn.Module):
@@ -91,6 +143,7 @@ class GeneratorCore(nn.Module):
     max_features: int = 512
     spatial_code: int = 0
     dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -108,6 +161,11 @@ class GeneratorCore(nn.Module):
             s0 * s0 * c0, weight_norm=wn, dtype=self.dtype, name="project"
         )(z)
         x = x.reshape(x.shape[0], s0, s0, c0)
+        # NormAct/TPReLU deliberately stays on the XLA path: benchmarks
+        # (benchmarks/kernel_bench.py) show XLA fuses the activation into
+        # the conv epilogue, while a standalone Pallas elementwise kernel
+        # forces an extra HBM round-trip (+60% step time). The Pallas
+        # TPReLU remains available as gea.ops.pallas.fused_tprelu.
         x = NormAct(norm=self.norm, dtype=self.dtype, name="project_act")(
             x, train=train
         )
@@ -145,7 +203,9 @@ class GeneratorCore(nn.Module):
             dtype=self.dtype,
             name="to_rgb",
         )(x)
-        return jnp.tanh(x.astype(jnp.float32))
+        # tanh in compute dtype: keeps the (n_stages*B, H, W, 3) stage
+        # buffer in bf16 — half the HBM traffic into the discriminator.
+        return jnp.tanh(x)
 
 
 class GeneratorLIS(nn.Module):
@@ -171,6 +231,7 @@ class GeneratorLIS(nn.Module):
     spatial_code: int = 0
     include_initial_image: bool = True
     dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @classmethod
     def from_config(cls, cfg: ModelConfig, **overrides: Any) -> "GeneratorLIS":
@@ -185,6 +246,7 @@ class GeneratorLIS(nn.Module):
             spatial_code=cfg.spatial_code,
             include_initial_image=cfg.include_initial_image,
             dtype=jnp.dtype(cfg.dtype),
+            use_pallas=getattr(cfg, "use_pallas", False),
         )
         kw.update(overrides)
         return cls(**kw)
@@ -217,6 +279,7 @@ class GeneratorLIS(nn.Module):
                 hidden_mult=self.lis_hidden_mult,
                 norm=self.norm,
                 dtype=self.dtype,
+                use_pallas=self.use_pallas,
                 name=f"lis{i}",
             )(z)
             zs.append(z)
@@ -245,6 +308,7 @@ class GeneratorLIS(nn.Module):
             max_features=self.max_features,
             spatial_code=self.spatial_code,
             dtype=self.dtype,
+            use_pallas=self.use_pallas,
             name="core",
         )
         images = core(stacked, spatial_noise=sn, train=train)
@@ -258,11 +322,13 @@ class GeneratorLIS(nn.Module):
         spatial_noise: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Inference-mode render of ALL stages (z0..zN) — the samplers'
-        per-stage progression view (reference C6/C13)."""
-        return self.apply(
+        per-stage progression view (reference C6/C13). Images are returned
+        in float32 for host-side grid writing."""
+        images, zs = self.apply(
             variables,
             z,
             spatial_noise=spatial_noise,
             train=False,
             render_all_stages=True,
         )
+        return images.astype(jnp.float32), zs

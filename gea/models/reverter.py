@@ -39,6 +39,7 @@ class Reverter(nn.Module):
     max_features: int = 512
     hidden: int = 512
     dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @classmethod
     def from_config(cls, cfg: ModelConfig, **overrides: Any) -> "Reverter":
@@ -50,6 +51,7 @@ class Reverter(nn.Module):
             max_features=cfg.max_features,
             hidden=getattr(cfg, "r_hidden", 512),
             dtype=jnp.dtype(cfg.dtype),
+            use_pallas=getattr(cfg, "use_pallas", False),
         )
         kw.update(overrides)
         return cls(**kw)
@@ -63,6 +65,7 @@ class Reverter(nn.Module):
             num_features=self.num_features,
             max_features=self.max_features,
             dtype=self.dtype,
+            use_pallas=self.use_pallas,
             name="trunk",
         )(x, train=train)
         h = Dense(self.hidden, weight_norm=wn, dtype=self.dtype, name="fc1")(h)

@@ -103,17 +103,33 @@ def build_glis_train_step(
         flat_fakes = fakes.reshape(-1, *fakes.shape[2:])
 
         def d_loss_fn(params_d):
-            logits_real, new_extras = _apply_model(
-                discriminator, params_d, state.extras_d, real, train=True
-            )
-            logits_fake, new_extras2 = _apply_model(
-                discriminator, params_d, new_extras, flat_fakes, train=True
-            )
+            if cfg.norm == "batch":
+                # Separate forwards keep per-population batch statistics —
+                # the reference's single-device BatchNorm intent
+                # (SURVEY.md §7 hard part #3).
+                logits_real, new_extras = _apply_model(
+                    discriminator, params_d, state.extras_d, real, train=True
+                )
+                logits_fake, new_extras = _apply_model(
+                    discriminator, params_d, new_extras, flat_fakes, train=True
+                )
+            else:
+                # One fused forward over real + every stage's fakes: a
+                # single (1 + n_stages) * B conv batch keeps the MXU at
+                # full tile occupancy instead of two smaller launches.
+                combined = jnp.concatenate(
+                    [real.astype(flat_fakes.dtype), flat_fakes], axis=0
+                )
+                logits_all, new_extras = _apply_model(
+                    discriminator, params_d, state.extras_d, combined, train=True
+                )
+                logits_real = logits_all[:batch]
+                logits_fake = logits_all[batch:]
             logits_fake = logits_fake.reshape(n_stages, batch)
             loss = losses.d_real_loss(logits_real) + losses.staged_loss(
                 logits_fake, weights, 0.0
             )
-            return loss, (new_extras2, logits_real, logits_fake)
+            return loss, (new_extras, logits_real, logits_fake)
 
         (loss_d, (extras_d, logits_real, logits_fake_d)), grads_d = (
             jax.value_and_grad(d_loss_fn, has_aux=True)(state.params_d)
