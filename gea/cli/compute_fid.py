@@ -1,0 +1,102 @@
+"""FID evaluation CLI (SURVEY.md §7 layer 8): score a trained generator
+run against a real dataset.
+
+    python -m gea.cli.compute_fid --load_path runs/glis3_80 \
+        --dataset folder --dataroot /data/celeba --num_samples 10000
+
+The metric label in the output says exactly which extractor was used:
+``FID(inception-v3)`` when imagenet weights are available, otherwise
+``proxy-FID(random-cnn)`` — a documented offline proxy (gea/eval/fid.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gea.cli.sample import load_generator
+from gea.data.ondevice import preprocess_batch
+from gea.data.pipeline import make_dataset
+from gea.eval.fid import compute_fid
+
+
+def fake_batch_iter(generator, variables, cfg, batch_size: int, seed: int):
+    render = jax.jit(
+        lambda z, sn: generator.render(variables, z, spatial_noise=sn)[0][-1]
+    )
+    rng = jax.random.PRNGKey(seed)
+    while True:
+        rng, z_rng, sn_rng = jax.random.split(rng, 3)
+        z = jax.random.normal(z_rng, (batch_size, cfg.code_size), jnp.float32)
+        sn_shape = generator.spatial_noise_shape(batch_size)
+        sn = (
+            jax.random.normal(sn_rng, sn_shape, jnp.float32)
+            if sn_shape
+            else None
+        )
+        yield np.asarray(jax.device_get(render(z, sn)))
+
+
+def real_batch_iter(cfg, seed: int):
+    ds = make_dataset(cfg, seed=seed)
+    rng = jax.random.PRNGKey(seed)
+    for raw in ds.batches():
+        rng, prng = jax.random.split(rng)
+        batch = preprocess_batch(
+            jnp.asarray(raw),
+            prng,
+            crop_size=cfg.crop_size,
+            image_size=cfg.image_size,
+            augment_flip=False,
+        )
+        yield np.asarray(jax.device_get(batch))
+
+
+def main(argv: Optional[list] = None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--load_path", required=True, help="trained G-LIS run dir")
+    p.add_argument("--dataset", default="folder")
+    p.add_argument("--dataroot", default="")
+    p.add_argument("--num_samples", type=int, default=10_000)
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--extractor", default="auto", choices=("auto", "inception", "random")
+    )
+    p.add_argument("--out", default="", help="optional JSON output path")
+    a = p.parse_args(argv)
+
+    generator, variables, train_cfg = load_generator(a.load_path)
+    data_cfg = train_cfg.replace(
+        dataset=a.dataset,
+        dataroot=a.dataroot or train_cfg.dataroot,
+        batch_size=a.batch_size,
+    )
+    fid, label = compute_fid(
+        real_batch_iter(data_cfg, a.seed),
+        fake_batch_iter(generator, variables, train_cfg, a.batch_size, a.seed),
+        image_size=train_cfg.image_size,
+        num_samples=a.num_samples,
+        extractor=a.extractor,
+    )
+    result = {
+        "metric": label,
+        "value": round(fid, 4),
+        "num_samples": a.num_samples,
+        "load_path": os.path.abspath(a.load_path),
+    }
+    print(json.dumps(result))
+    if a.out:
+        with open(a.out, "w") as f:
+            json.dump(result, f, indent=2)
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -229,6 +229,9 @@ class TrainGLISConfig(ModelConfig, DataConfig):
     use_pallas: bool = _flag(
         True, "use fused Pallas kernels on TPU (falls back to XLA elsewhere)"
     )
+    tensorboard: bool = _flag(
+        False, "also write scalars to <save_path>/tb via tf.summary"
+    )
 
 
 @dataclass(frozen=True)
@@ -278,6 +281,12 @@ class TrainRConfig(ModelConfig, DataConfig):
     log_interval: int = _flag(50, "stdout loss print every N iterations")
     num_devices: int = _flag(0, "data-parallel devices; 0 = all visible")
     use_pallas: bool = _flag(True, "use fused Pallas kernels on TPU")
+    profile_dir: str = _flag(
+        "", "if set, write a jax.profiler trace for steps 10..15 here"
+    )
+    tensorboard: bool = _flag(
+        False, "also write scalars to <save_path>/tb via tf.summary"
+    )
 
 
 @dataclass(frozen=True)

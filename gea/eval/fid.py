@@ -1,0 +1,206 @@
+"""Frechet distance evaluation (SURVEY.md §7 hard part #6).
+
+The acceptance metric for the rebuild is "FID parity vs reference"
+(BASELINE.json), but the reference publishes no FID and this image has no
+network access and no cached InceptionV3 weights. Strategy, as SURVEY.md
+§7 prescribes ("substitute a documented proxy ... and flag it"):
+
+* ``extractor="inception"`` — the standard FID feature network, used
+  automatically IF keras can materialize imagenet weights (cached or
+  downloadable). Raises a clear error otherwise.
+* ``extractor="random"`` (default fallback) — a frozen, fixed-seed
+  random-projection CNN over image patches. Random-feature Frechet
+  distances are a known cheap proxy that rank-correlates with
+  Inception-FID for within-architecture comparisons; every report labels
+  the metric ``proxy-FID(random-cnn)`` so it can never be confused with
+  true FID.
+
+The Frechet machinery itself (Gaussian moment accumulation + the
+``||mu1-mu2||^2 + tr(C1 + C2 - 2 sqrt(C1 C2))`` distance) is exact and
+extractor-agnostic, so plugging real Inception weights in a later round
+changes one function.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FeatureExtractor = Callable[[jnp.ndarray], jnp.ndarray]
+
+
+# ----------------------------------------------------------------- stats
+
+
+@dataclasses.dataclass
+class FIDStats:
+    """Streaming Gaussian moments of a feature distribution."""
+
+    n: int
+    sum: np.ndarray  # (D,)
+    outer: np.ndarray  # (D, D)
+
+    @classmethod
+    def empty(cls, dim: int) -> "FIDStats":
+        return cls(0, np.zeros(dim, np.float64), np.zeros((dim, dim), np.float64))
+
+    def update(self, feats: np.ndarray) -> None:
+        f = np.asarray(feats, np.float64)
+        self.n += f.shape[0]
+        self.sum += f.sum(axis=0)
+        self.outer += f.T @ f
+
+    @property
+    def mean(self) -> np.ndarray:
+        return self.sum / max(1, self.n)
+
+    @property
+    def cov(self) -> np.ndarray:
+        mu = self.mean
+        return self.outer / max(1, self.n - 1) - np.outer(mu, mu) * (
+            self.n / max(1, self.n - 1)
+        )
+
+
+def frechet_distance(
+    mu1: np.ndarray, cov1: np.ndarray, mu2: np.ndarray, cov2: np.ndarray
+) -> float:
+    """d^2 = ||mu1-mu2||^2 + tr(C1 + C2 - 2 (C1 C2)^{1/2})."""
+    from scipy import linalg
+
+    diff = mu1 - mu2
+    covmean, _ = linalg.sqrtm(cov1 @ cov2, disp=False)
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(
+        diff @ diff + np.trace(cov1) + np.trace(cov2) - 2.0 * np.trace(covmean)
+    )
+
+
+# ------------------------------------------------------------ extractors
+
+
+def _random_cnn_extractor(
+    image_size: int, feature_dim: int = 256, seed: int = 1234
+) -> FeatureExtractor:
+    """Frozen fixed-seed conv feature net: 4 stride-2 conv+relu stages with
+    orthogonal-ish gaussian filters, global average + max pool head,
+    projected to `feature_dim`. Deterministic across processes."""
+    rng = jax.random.PRNGKey(seed)
+    keys = jax.random.split(rng, 6)
+    chans = [3, 32, 64, 128, 256]
+    kernels = []
+    for i in range(4):
+        fan_in = 3 * 3 * chans[i]
+        kernels.append(
+            jax.random.normal(keys[i], (3, 3, chans[i], chans[i + 1]))
+            * np.sqrt(2.0 / fan_in)
+        )
+    proj = jax.random.normal(keys[4], (2 * chans[-1], feature_dim)) * np.sqrt(
+        1.0 / (2 * chans[-1])
+    )
+
+    @jax.jit
+    def extract(images: jnp.ndarray) -> jnp.ndarray:
+        x = images.astype(jnp.float32)
+        for k in kernels:
+            x = jax.lax.conv_general_dilated(
+                x,
+                k.astype(jnp.float32),
+                window_strides=(2, 2),
+                padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            x = jax.nn.relu(x)
+        avg = jnp.mean(x, axis=(1, 2))
+        mx = jnp.max(x, axis=(1, 2))
+        h = jnp.concatenate([avg, mx], axis=-1)
+        return h @ proj
+
+    return extract
+
+
+def _inception_extractor(image_size: int) -> FeatureExtractor:
+    """True-FID extractor via keras InceptionV3 (pool3 features). Only
+    works when imagenet weights are cached/downloadable; raises a clear
+    error otherwise (no network in this image)."""
+    try:
+        from keras.applications.inception_v3 import InceptionV3
+    except Exception as e:  # pragma: no cover
+        raise RuntimeError(f"keras InceptionV3 unavailable: {e}") from e
+    try:
+        model = InceptionV3(
+            include_top=False, weights="imagenet", pooling="avg"
+        )
+    except Exception as e:
+        raise RuntimeError(
+            "InceptionV3 imagenet weights are not available offline; use "
+            "extractor='random' (proxy-FID) instead. "
+            f"Underlying error: {e}"
+        ) from e
+
+    def extract(images: jnp.ndarray) -> jnp.ndarray:
+        import tensorflow as tf
+
+        x = np.asarray(images, np.float32)  # [-1, 1], already Inception range
+        x = tf.image.resize(x, (299, 299)).numpy()
+        return jnp.asarray(model(x, training=False).numpy())
+
+    return extract
+
+
+def make_feature_extractor(
+    image_size: int, extractor: str = "auto"
+) -> Tuple[FeatureExtractor, str]:
+    """Returns (fn, label). label is embedded in every report."""
+    if extractor in ("auto", "inception"):
+        try:
+            return _inception_extractor(image_size), "FID(inception-v3)"
+        except RuntimeError:
+            if extractor == "inception":
+                raise
+    return (
+        _random_cnn_extractor(image_size),
+        "proxy-FID(random-cnn)",
+    )
+
+
+# --------------------------------------------------------------- driver
+
+
+def compute_stats(
+    batches: Iterable[np.ndarray],
+    extract: FeatureExtractor,
+    max_samples: int,
+) -> FIDStats:
+    stats: Optional[FIDStats] = None
+    seen = 0
+    for batch in batches:
+        feats = np.asarray(jax.device_get(extract(jnp.asarray(batch))))
+        if stats is None:
+            stats = FIDStats.empty(feats.shape[-1])
+        take = min(feats.shape[0], max_samples - seen)
+        stats.update(feats[:take])
+        seen += take
+        if seen >= max_samples:
+            break
+    if stats is None or seen == 0:
+        raise ValueError("no samples provided to compute_stats")
+    return stats
+
+
+def compute_fid(
+    real_batches: Iterable[np.ndarray],
+    fake_batches: Iterable[np.ndarray],
+    image_size: int,
+    num_samples: int = 10_000,
+    extractor: str = "auto",
+) -> Tuple[float, str]:
+    extract, label = make_feature_extractor(image_size, extractor)
+    rs = compute_stats(real_batches, extract, num_samples)
+    fs = compute_stats(fake_batches, extract, num_samples)
+    return frechet_distance(rs.mean, rs.cov, fs.mean, fs.cov), label

@@ -44,21 +44,46 @@ def resolve_mesh(cfg):
 def input_iterator(
     cfg, mesh, seed: int
 ) -> Tuple[Iterator[jax.Array], Callable[[jax.Array, jax.Array], jax.Array]]:
-    """Returns (device uint8 batch iterator, jitted preprocess fn)."""
+    """Returns (device batch iterator, preprocess fn).
+
+    Default: host decodes uint8, crop/resize/flip/normalize runs jitted on
+    device. With ``on_device_pipeline=False`` the full reference-style
+    transform chain runs on host (gea/data/hostpre.py) and preprocessing
+    on device is the identity.
+    """
     ds = make_dataset(cfg, seed=seed)
     sharding = batch_sharding(mesh) if mesh is not None else None
-    it = device_prefetch(ds.batches(), sharding=sharding, depth=2)
 
-    def preprocess(raw: jax.Array, rng: jax.Array) -> jax.Array:
-        return preprocess_batch(
-            raw,
-            rng,
-            crop_size=cfg.crop_size,
-            image_size=cfg.image_size,
-            augment_flip=cfg.augment_flip,
-        )
+    if getattr(cfg, "on_device_pipeline", True):
+        it = device_prefetch(ds.batches(), sharding=sharding, depth=2)
 
-    return it, preprocess
+        def preprocess(raw: jax.Array, rng: jax.Array) -> jax.Array:
+            return preprocess_batch(
+                raw,
+                rng,
+                crop_size=cfg.crop_size,
+                image_size=cfg.image_size,
+                augment_flip=cfg.augment_flip,
+            )
+
+        return it, preprocess
+
+    from gea.data.hostpre import host_preprocess
+
+    host_rng = np.random.default_rng(seed ^ 0xFEED)
+
+    def host_batches():
+        for raw in ds.batches():
+            yield host_preprocess(
+                raw,
+                host_rng,
+                crop_size=cfg.crop_size,
+                image_size=cfg.image_size,
+                augment_flip=cfg.augment_flip,
+            )
+
+    it = device_prefetch(host_batches(), sharding=sharding, depth=2)
+    return it, lambda batch, rng: batch
 
 
 def maybe_resume(cfg, state):
@@ -104,6 +129,27 @@ class TrainLoop:
         self.plotter = LossPlotter()
         self.meter = ThroughputMeter(cfg.batch_size)
         self._data_rng = jax.random.PRNGKey(cfg.seed ^ 0x5EED)
+        self._tb = None
+        if getattr(cfg, "tensorboard", False):
+            try:
+                import tensorflow as tf
+
+                self._tb = tf.summary.create_file_writer(
+                    os.path.join(run_dir, "tb")
+                )
+            except Exception as e:  # pragma: no cover - optional dep
+                print(f"[gea] tensorboard disabled ({e})")
+
+    def _tb_write(self, step: int, metrics, stats) -> None:
+        if self._tb is None:
+            return
+        import tensorflow as tf
+
+        with self._tb.as_default():
+            for k, v in metrics.items():
+                tf.summary.scalar(f"train/{k}", v, step=step)
+            for k, v in stats.items():
+                tf.summary.scalar(f"perf/{k}", v, step=step)
 
     def run(self, start_step: int) -> Any:
         cfg = self.cfg
@@ -127,7 +173,18 @@ class TrainLoop:
             step_now = it + 1
             if step_now % cfg.log_interval == 0 or step_now == 1:
                 m = {k: float(metrics[k]) for k in metrics}
+                # Failure detection (SURVEY.md §5): a NaN/Inf loss means
+                # the run is dead — save a post-mortem checkpoint and
+                # abort loudly instead of burning the remaining budget.
+                bad = [k for k, v in m.items() if not np.isfinite(v)]
+                if bad:
+                    save_checkpoint(self.run_dir, step_now, self.state)
+                    raise FloatingPointError(
+                        f"non-finite metrics {bad} at iter {step_now}; "
+                        f"post-mortem checkpoint written to {self.run_dir}"
+                    )
                 stats = self.meter.stats(self.num_chips)
+                self._tb_write(step_now, m, stats)
                 self.plotter.add(
                     step_now, **{k: m[k] for k in self.loss_keys if k in m}
                 )

@@ -1,0 +1,141 @@
+"""Checkpoint round-trip (SURVEY.md §4: 'checkpoint save→resume→bitwise-
+state equality'), the cross-tool frozen-G contract, and the reverser train
+steps."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gea.config import TrainGLISConfig, TrainRIterativeConfig, TrainRSeparateConfig
+from gea.models import Discriminator, GeneratorLIS, Reverter
+from gea.train.state import add_reverter, create_glis_state, make_optimizer
+from gea.train.steps_r import build_r_iterative_step, build_r_separate_step
+from gea.utils.checkpoint import latest_step, restore_checkpoint, save_checkpoint
+
+
+def tiny_cfg(cls=TrainGLISConfig, **kw):
+    base = dict(
+        image_size=16,
+        code_size=16,
+        r_iterations=1,
+        norm="weight",
+        num_features=4,
+        max_features=16,
+        dtype="float32",
+        batch_size=8,
+        dataset="synthetic",
+    )
+    base.update(kw)
+    return cls(**base)
+
+
+def make_state(cfg, seed=0):
+    g = GeneratorLIS.from_config(cfg)
+    d = Discriminator.from_config(cfg)
+    tx = make_optimizer(cfg.lr, cfg.beta1, cfg.beta2)
+    return g, d, tx, create_glis_state(cfg, g, d, tx, tx, seed)
+
+
+def assert_trees_equal(a, b):
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_checkpoint_bitwise_roundtrip(tmp_path):
+    cfg = tiny_cfg(save_path=str(tmp_path))
+    _, _, _, state = make_state(cfg)
+    save_checkpoint(str(tmp_path), 7, state)
+    assert latest_step(str(tmp_path)) == 7
+    restored = restore_checkpoint(str(tmp_path), state)
+    assert_trees_equal(state.params_g, restored.params_g)
+    assert_trees_equal(state.params_d, restored.params_d)
+    assert_trees_equal(state.opt_g, restored.opt_g)
+    assert int(restored.step) == int(state.step)
+
+
+def test_latest_step_picks_max(tmp_path):
+    cfg = tiny_cfg(save_path=str(tmp_path))
+    _, _, _, state = make_state(cfg)
+    for s in (5, 20, 10):
+        save_checkpoint(str(tmp_path), s, state)
+    assert latest_step(str(tmp_path)) == 20
+
+
+def test_cross_tool_frozen_g_contract(tmp_path):
+    """R-separate must rebuild + load a generator from a G-LIS run dir via
+    config.json + checkpoint only (SURVEY.md §7 hard part #7)."""
+    from gea.cli.sample import load_generator
+
+    run = str(tmp_path / "g_run")
+    cfg = tiny_cfg(save_path=run)
+    os.makedirs(run, exist_ok=True)
+    cfg.save(os.path.join(run, "config.json"))
+    g, d, tx, state = make_state(cfg)
+    save_checkpoint(run, 3, state)
+
+    g2, variables, cfg2 = load_generator(run)
+    assert cfg2.image_size == cfg.image_size
+    z = jnp.zeros((2, cfg.code_size))
+    images, zs = g2.render(variables, z)
+    assert images.shape == (2, 2, 16, 16, 3)  # stages x batch x H x W x C
+
+
+def test_r_separate_step(tmp_path):
+    cfg = tiny_cfg(TrainRSeparateConfig, g_path="unused", r_hidden=16, lr=2e-3)
+    g, d, tx, state = make_state(cfg)
+    frozen_vars = {"params": state.params_g, **state.extras_g}
+    reverter = Reverter.from_config(cfg)
+    from gea.cli.train_r_separate import create_r_state
+
+    rstate = create_r_state(cfg, reverter, tx, 0)
+    step = build_r_separate_step(cfg, g, reverter, frozen_vars, tx)
+    jstep = jax.jit(step)
+    dummy = jnp.zeros((1,))
+    s1, m1 = jstep(rstate, dummy)
+    assert np.isfinite(float(m1["loss_r"]))
+    assert int(s1.step) == 1
+    # R params must move, and training should reduce the loss on average.
+    losses = [float(m1["loss_r"])]
+    s = s1
+    for _ in range(39):
+        s, m = jstep(s, dummy)
+        losses.append(float(m["loss_r"]))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_r_iterative_step():
+    cfg = tiny_cfg(TrainRIterativeConfig, r_chain_length=2, r_hidden=16)
+    g = GeneratorLIS.from_config(cfg, r_iterations=0)
+    d = Discriminator.from_config(cfg)
+    reverter = Reverter.from_config(cfg)
+    tx = make_optimizer(cfg.lr, cfg.beta1, cfg.beta2)
+    state = create_glis_state(cfg, g, d, tx, tx, 0)
+    state = add_reverter(state, cfg, reverter, tx, 0)
+    step = build_r_iterative_step(cfg, g, d, reverter, tx, tx, tx)
+    jstep = jax.jit(step)
+    real = jnp.asarray(
+        np.random.default_rng(0)
+        .uniform(-1, 1, (8, 16, 16, 3))
+        .astype(np.float32)
+    )
+    s1, m = jstep(state, real)
+    for k in ("loss_d", "loss_g", "loss_r_sim", "d_real"):
+        assert np.isfinite(float(m[k])), k
+    for name, old, new in [
+        ("g", state.params_g, s1.params_g),
+        ("d", state.params_d, s1.params_d),
+        ("r", state.params_r, s1.params_r),
+    ]:
+        moved = max(
+            float(jnp.max(jnp.abs(a - b)))
+            for a, b in zip(
+                jax.tree_util.tree_leaves(old), jax.tree_util.tree_leaves(new)
+            )
+        )
+        assert moved > 0, f"params_{name} did not update"
