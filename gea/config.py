@@ -188,6 +188,12 @@ class DataConfig(BaseConfig):
     crop_size: int = _flag(160, "center-crop size applied before resize")
     batch_size: int = _flag(64, "global batch size (split across the mesh)")
     data_workers: int = _flag(4, "host-side decode worker threads")
+    data_backend: str = _flag(
+        "auto",
+        "image decode backend: native C++ pool (JPEG), PIL threads, or "
+        "auto (native when available and the folder is all-JPEG)",
+        choices=("auto", "native", "pil"),
+    )
     on_device_pipeline: bool = _flag(
         True,
         "crop/resize/flip/normalize on device (jit) instead of on host; "

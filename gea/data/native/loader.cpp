@@ -1,0 +1,290 @@
+// Native data loader for gea (TPU-native equivalent of the reference's
+// DataLoader worker processes — the one place the reference's runtime
+// leans on native code, via torch's C++ DataLoader machinery; here it is
+// a standalone C++ library bound over ctypes).
+//
+// Pipeline per image: libjpeg decode (with DCT-domain 1/2^k prescaling to
+// near the target size), bilinear resize of the short side to out_size,
+// center crop to an out_size x out_size RGB square. A worker thread pool
+// fills a ring of pre-allocated batch buffers (double buffering, depth
+// GEA_RING) so the Python side always finds a ready batch: decode
+// overlaps both host->device transfer and device compute.
+//
+// Build: g++ -O2 -shared -fPIC loader.cpp -ljpeg -lpthread -o _gealoader.so
+// (driven by gea/data/native_build.py, cached by source mtime).
+
+#include <cstddef>
+#include <cstdio>  // must precede jpeglib.h (it uses FILE without including it)
+
+#include <jpeglib.h>
+
+#include <algorithm>
+#include <atomic>
+#include <condition_variable>
+#include <csetjmp>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <mutex>
+#include <random>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr int kRing = 4;
+
+struct JpegErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+void jpeg_error_exit(j_common_ptr cinfo) {
+  auto* err = reinterpret_cast<JpegErrorMgr*>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
+// Decode a JPEG file to RGB, prescaled by libjpeg so the short side is
+// >= target but within 2x of it. Returns false on any decode error.
+bool decode_jpeg(const char* path, int target, std::vector<uint8_t>& pixels,
+                 int& w, int& h) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  // DCT-domain downscale: pick the largest denominator that keeps the
+  // short side >= target — decodes up to 64x fewer pixels than full-res.
+  int short_side = cinfo.image_width < cinfo.image_height
+                       ? cinfo.image_width
+                       : cinfo.image_height;
+  int denom = 1;
+  while (denom < 8 && short_side / (denom * 2) >= target) denom *= 2;
+  cinfo.scale_num = 1;
+  cinfo.scale_denom = denom;
+  jpeg_start_decompress(&cinfo);
+  w = cinfo.output_width;
+  h = cinfo.output_height;
+  pixels.resize(static_cast<size_t>(w) * h * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = pixels.data() + static_cast<size_t>(cinfo.output_scanline) * w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  fclose(f);
+  return true;
+}
+
+// Bilinear resize (RGB u8) from (w, h) to (nw, nh).
+void resize_bilinear(const uint8_t* src, int w, int h, uint8_t* dst, int nw,
+                     int nh) {
+  const float sx = static_cast<float>(w) / nw;
+  const float sy = static_cast<float>(h) / nh;
+  for (int y = 0; y < nh; ++y) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    int y0 = fy < 0 ? 0 : static_cast<int>(fy);
+    int y1 = y0 + 1 < h ? y0 + 1 : h - 1;
+    float wy = fy - y0;
+    if (wy < 0) wy = 0;
+    for (int x = 0; x < nw; ++x) {
+      float fx = (x + 0.5f) * sx - 0.5f;
+      int x0 = fx < 0 ? 0 : static_cast<int>(fx);
+      int x1 = x0 + 1 < w ? x0 + 1 : w - 1;
+      float wx = fx - x0;
+      if (wx < 0) wx = 0;
+      for (int c = 0; c < 3; ++c) {
+        float v00 = src[(static_cast<size_t>(y0) * w + x0) * 3 + c];
+        float v01 = src[(static_cast<size_t>(y0) * w + x1) * 3 + c];
+        float v10 = src[(static_cast<size_t>(y1) * w + x0) * 3 + c];
+        float v11 = src[(static_cast<size_t>(y1) * w + x1) * 3 + c];
+        float v = v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx +
+                  v10 * wy * (1 - wx) + v11 * wy * wx;
+        dst[(static_cast<size_t>(y) * nw + x) * 3 + c] =
+            static_cast<uint8_t>(v + 0.5f);
+      }
+    }
+  }
+}
+
+// Full per-image op: decode -> short-side resize to out_size -> center
+// crop out_size x out_size. Writes out_size*out_size*3 bytes.
+bool decode_square(const char* path, int out_size, uint8_t* out) {
+  std::vector<uint8_t> pix;
+  int w = 0, h = 0;
+  if (!decode_jpeg(path, out_size, pix, w, h)) return false;
+  int nw, nh;
+  if (w < h) {
+    nw = out_size;
+    nh = static_cast<int>(static_cast<float>(h) * out_size / w + 0.5f);
+  } else {
+    nh = out_size;
+    nw = static_cast<int>(static_cast<float>(w) * out_size / h + 0.5f);
+  }
+  if (nh < out_size) nh = out_size;
+  if (nw < out_size) nw = out_size;
+  std::vector<uint8_t> resized(static_cast<size_t>(nw) * nh * 3);
+  resize_bilinear(pix.data(), w, h, resized.data(), nw, nh);
+  int left = (nw - out_size) / 2;
+  int top = (nh - out_size) / 2;
+  for (int y = 0; y < out_size; ++y) {
+    std::memcpy(out + static_cast<size_t>(y) * out_size * 3,
+                resized.data() +
+                    (static_cast<size_t>(top + y) * nw + left) * 3,
+                static_cast<size_t>(out_size) * 3);
+  }
+  return true;
+}
+
+struct BatchBuffer {
+  std::vector<uint8_t> data;
+  long generation = 0;   // which batch index currently owns this buffer
+  int remaining = 0;     // slots still to fill
+  bool ready = false;
+};
+
+struct Loader {
+  std::vector<std::string> paths;
+  int batch;
+  int out_size;
+  size_t image_bytes;
+  std::mt19937_64 rng;
+
+  std::mutex mu;
+  std::condition_variable cv_worker;
+  std::condition_variable cv_consumer;
+  std::vector<BatchBuffer> ring;
+  std::vector<size_t> order;
+  size_t order_pos = 0;
+  long next_ticket = 0;   // global image slot counter
+  long consume_gen = 0;   // next batch index the consumer takes
+  bool stopping = false;
+  std::vector<std::thread> workers;
+
+  Loader(std::vector<std::string> p, int b, int s, int nworkers, uint64_t seed)
+      : paths(std::move(p)), batch(b), out_size(s),
+        image_bytes(static_cast<size_t>(s) * s * 3), rng(seed) {
+    ring.resize(kRing);
+    for (int i = 0; i < kRing; ++i) {
+      ring[i].data.resize(image_bytes * batch);
+      ring[i].generation = i;
+      ring[i].remaining = batch;
+    }
+    order.resize(paths.size());
+    for (size_t i = 0; i < order.size(); ++i) order[i] = i;
+    std::shuffle(order.begin(), order.end(), rng);
+    for (int i = 0; i < nworkers; ++i)
+      workers.emplace_back([this] { worker_loop(); });
+  }
+
+  ~Loader() {
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      stopping = true;
+    }
+    cv_worker.notify_all();
+    cv_consumer.notify_all();
+    for (auto& t : workers) t.join();
+  }
+
+  std::string next_path_locked() {
+    if (order_pos >= order.size()) {
+      std::shuffle(order.begin(), order.end(), rng);
+      order_pos = 0;
+    }
+    return paths[order[order_pos++]];
+  }
+
+  void worker_loop() {
+    for (;;) {
+      long ticket;
+      std::string path;
+      BatchBuffer* buf;
+      long gen;
+      int slot;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        if (stopping) return;
+        ticket = next_ticket++;
+        gen = ticket / batch;
+        slot = static_cast<int>(ticket % batch);
+        buf = &ring[gen % kRing];
+        // Wait until the consumer has freed this buffer for `gen`.
+        cv_worker.wait(lk, [&] { return stopping || buf->generation == gen; });
+        if (stopping) return;
+        path = next_path_locked();
+      }
+      uint8_t* dst = buf->data.data() + image_bytes * slot;
+      int attempts = 0;
+      while (!decode_square(path.c_str(), out_size, dst)) {
+        std::lock_guard<std::mutex> lk(mu);
+        if (stopping) return;
+        path = next_path_locked();
+        if (++attempts > 32) {  // give up: zero-fill the slot
+          std::memset(dst, 0, image_bytes);
+          break;
+        }
+      }
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        if (--buf->remaining == 0) {
+          buf->ready = true;
+          cv_consumer.notify_all();
+        }
+      }
+    }
+  }
+
+  bool next(uint8_t* out) {
+    std::unique_lock<std::mutex> lk(mu);
+    long gen = consume_gen++;
+    BatchBuffer* buf = &ring[gen % kRing];
+    cv_consumer.wait(lk, [&] {
+      return stopping || (buf->generation == gen && buf->ready);
+    });
+    if (stopping) return false;
+    std::memcpy(out, buf->data.data(), image_bytes * batch);
+    buf->generation = gen + kRing;
+    buf->remaining = batch;
+    buf->ready = false;
+    cv_worker.notify_all();
+    return true;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+int gea_decode_square(const char* path, int out_size, uint8_t* out) {
+  return decode_square(path, out_size, out) ? 0 : 1;
+}
+
+void* gea_loader_create(const char** paths, int n_paths, int batch,
+                        int out_size, int workers, uint64_t seed) {
+  if (n_paths <= 0 || batch <= 0 || out_size <= 0) return nullptr;
+  std::vector<std::string> p(paths, paths + n_paths);
+  if (workers < 1) workers = 1;
+  return new Loader(std::move(p), batch, out_size, workers, seed);
+}
+
+int gea_loader_next(void* handle, uint8_t* out) {
+  return static_cast<Loader*>(handle)->next(out) ? 0 : 1;
+}
+
+void gea_loader_destroy(void* handle) {
+  delete static_cast<Loader*>(handle);
+}
+
+}  // extern "C"

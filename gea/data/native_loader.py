@@ -1,0 +1,85 @@
+"""Python wrapper over the native C++ JPEG loader (TPU-native equivalent
+of the reference's `DataLoader(num_workers=N)` fork-based decode pool,
+SURVEY.md §2 C9 / §3.1). A C++ worker pool decodes + prescales + center-
+crops JPEGs into a ring of pre-allocated uint8 batch buffers; Python only
+memcpy-views the ready batch, so the GIL never gates decode throughput."""
+
+from __future__ import annotations
+
+import ctypes
+from typing import Iterator, List, Sequence
+
+import numpy as np
+
+from gea.data.native_build import load_library
+
+
+def native_available() -> bool:
+    return load_library() is not None
+
+
+def decode_square(path: str, out_size: int) -> np.ndarray:
+    """Single-image decode -> (out_size, out_size, 3) uint8."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native loader unavailable")
+    out = np.empty((out_size, out_size, 3), np.uint8)
+    rc = lib.gea_decode_square(
+        path.encode(), out_size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        raise ValueError(f"native decode failed for {path!r}")
+    return out
+
+
+class NativeFolderLoader:
+    """Endless shuffled uint8 batch stream backed by the C++ pool."""
+
+    def __init__(
+        self,
+        paths: Sequence[str],
+        batch_size: int,
+        decode_size: int,
+        workers: int = 4,
+        seed: int = 0,
+    ):
+        lib = load_library()
+        if lib is None:
+            raise RuntimeError("native loader unavailable")
+        self._lib = lib
+        self.batch_size = batch_size
+        self.decode_size = decode_size
+        self.paths: List[bytes] = [p.encode() for p in paths]
+        arr = (ctypes.c_char_p * len(self.paths))(*self.paths)
+        self._handle = lib.gea_loader_create(
+            arr, len(self.paths), batch_size, decode_size, workers, seed
+        )
+        if not self._handle:
+            raise RuntimeError("gea_loader_create failed")
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def batches(self) -> Iterator[np.ndarray]:
+        s = self.decode_size
+        while True:
+            out = np.empty((self.batch_size, s, s, 3), np.uint8)
+            rc = self._lib.gea_loader_next(
+                self._handle,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            )
+            if rc != 0:
+                return
+            yield out
+
+    def close(self) -> None:
+        if getattr(self, "_handle", None):
+            self._lib.gea_loader_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):  # pragma: no cover - best effort
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -137,6 +137,16 @@ def make_dataset(cfg, seed: int = 0):
     if cfg.dataset == "synthetic":
         return SyntheticDataset(cfg.batch_size, decode_size, seed=seed)
     if cfg.dataset == "folder":
+        backend = getattr(cfg, "data_backend", "auto")
+        if backend in ("auto", "native"):
+            loader = _try_native_loader(cfg, decode_size, seed)
+            if loader is not None:
+                return loader
+            if backend == "native":
+                raise RuntimeError(
+                    "native data backend requested but unavailable "
+                    "(no toolchain/libjpeg, or non-JPEG files in folder)"
+                )
         return FolderDataset(
             cfg.dataroot,
             cfg.batch_size,
@@ -147,6 +157,30 @@ def make_dataset(cfg, seed: int = 0):
     if cfg.dataset == "cifar10":
         return _cifar10_dataset(cfg, seed)
     raise ValueError(f"unknown dataset {cfg.dataset!r}")
+
+
+def _try_native_loader(cfg, decode_size: int, seed: int):
+    """C++ decode pool (gea/data/native_loader.py) when every file is a
+    JPEG and the library builds; None otherwise."""
+    try:
+        from gea.data.native_loader import NativeFolderLoader, native_available
+    except Exception:
+        return None
+    if not native_available():
+        return None
+    paths = list_images(cfg.dataroot)
+    if not all(p.lower().endswith((".jpg", ".jpeg")) for p in paths):
+        return None
+    try:
+        return NativeFolderLoader(
+            paths,
+            cfg.batch_size,
+            decode_size,
+            workers=cfg.data_workers,
+            seed=seed,
+        )
+    except RuntimeError:
+        return None
 
 
 def _cifar10_dataset(cfg, seed: int):

@@ -1,0 +1,77 @@
+"""Native C++ data-loader tests (gea/data/native_loader.py — the
+TPU-native equivalent of the reference DataLoader's native decode pool)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+native = pytest.importorskip("gea.data.native_loader")
+if not native.native_available():
+    pytest.skip("native loader toolchain unavailable", allow_module_level=True)
+
+
+@pytest.fixture
+def jpeg_dir(tmp_path, rng):
+    paths = []
+    for i in range(10):
+        yy, xx = np.mgrid[0 : 100 + i, 0:120].astype(np.float32)
+        arr = np.stack(
+            [yy / (100 + i) * 255, xx / 120 * 255, np.full_like(yy, 30 + i)],
+            -1,
+        ).astype(np.uint8)
+        p = tmp_path / f"img{i}.jpg"
+        Image.fromarray(arr).save(p, quality=93)
+        paths.append(str(p))
+    return paths
+
+
+def test_decode_square_matches_pil(jpeg_dir):
+    from gea.data.pipeline import _decode
+
+    a = native.decode_square(jpeg_dir[0], 48).astype(np.float32)
+    b = _decode(jpeg_dir[0], 48).astype(np.float32)
+    assert a.shape == (48, 48, 3)
+    corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+    assert corr > 0.995
+    assert np.abs(a.mean((0, 1)) - b.mean((0, 1))).max() < 3.0
+
+
+def test_decode_rejects_garbage(tmp_path):
+    p = tmp_path / "bad.jpg"
+    p.write_bytes(b"not a jpeg at all")
+    with pytest.raises(ValueError):
+        native.decode_square(str(p), 32)
+
+
+def test_loader_streams_batches(jpeg_dir):
+    ld = native.NativeFolderLoader(
+        jpeg_dir, batch_size=4, decode_size=32, workers=3, seed=0
+    )
+    it = ld.batches()
+    batches = [next(it) for _ in range(5)]
+    ld.close()
+    for b in batches:
+        assert b.shape == (4, 32, 32, 3) and b.dtype == np.uint8
+        assert b.mean() > 10  # actually decoded, not zero-filled
+    assert not np.array_equal(batches[0], batches[1])
+
+
+def test_make_dataset_selects_native(jpeg_dir, tmp_path):
+    from gea.config import TrainGLISConfig
+    from gea.data.pipeline import make_dataset
+
+    cfg = TrainGLISConfig(
+        dataset="folder",
+        dataroot=os.path.dirname(jpeg_dir[0]),
+        batch_size=4,
+        crop_size=32,
+        image_size=32,
+        data_backend="native",
+    )
+    ds = make_dataset(cfg, seed=0)
+    assert type(ds).__name__ == "NativeFolderLoader"
+    b = next(ds.batches())
+    assert b.shape == (4, 32, 32, 3)
+    ds.close()
