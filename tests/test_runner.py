@@ -1,0 +1,93 @@
+"""Host-loop behavior tests with a stub step function: periodic
+checkpoint/vis cadence, resume bookkeeping, and the non-finite-loss
+failure guard (SURVEY.md §5 'Failure detection')."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import struct
+
+from gea.config import TrainGLISConfig
+from gea.train.runner import TrainLoop, maybe_resume, prepare_run
+
+
+@struct.dataclass
+class StubState:
+    step: jnp.ndarray
+    params_g: jnp.ndarray
+
+
+def make_loop(tmp_path, niter=10, nan_at=None, **cfg_kw):
+    cfg = TrainGLISConfig(
+        dataset="synthetic",
+        image_size=16,
+        batch_size=4,
+        niter=niter,
+        log_interval=2,
+        vis_interval=4,
+        save_interval=5,
+        save_path=str(tmp_path),
+        **cfg_kw,
+    )
+    run_dir = prepare_run(cfg)
+
+    def step_fn(state, batch):
+        s = int(state.step)
+        loss = jnp.float32(np.nan) if (nan_at is not None and s + 1 == nan_at) else jnp.float32(1.0 / (s + 1))
+        new = StubState(step=state.step + 1, params_g=state.params_g + 1.0)
+        return new, {"loss_d": loss, "loss_g": jnp.float32(0.5)}
+
+    def data_iter():
+        while True:
+            yield np.zeros((4, 16, 16, 3), np.float32)
+
+    vis_calls = []
+    loop = TrainLoop(
+        cfg,
+        run_dir,
+        StubState(step=jnp.zeros((), jnp.int32), params_g=jnp.zeros(())),
+        step_fn,
+        data_iter(),
+        preprocess=lambda raw, rng: raw,
+        vis_fn=lambda state, step: vis_calls.append(step),
+        loss_keys=("loss_d", "loss_g"),
+    )
+    return cfg, loop, vis_calls, run_dir
+
+
+def test_loop_periodic_side_effects(tmp_path):
+    cfg, loop, vis_calls, run_dir = make_loop(tmp_path, niter=10)
+    final = loop.run(0)
+    assert int(final.step) == 10
+    assert vis_calls == [4, 8]
+    from gea.utils.checkpoint import latest_step
+
+    assert latest_step(run_dir) == 10  # save at 5, 10 (incl. final)
+    assert os.path.exists(os.path.join(run_dir, "plots", "loss.png"))
+
+
+def test_loop_nan_abort_writes_postmortem(tmp_path):
+    cfg, loop, _, run_dir = make_loop(tmp_path, niter=10, nan_at=4)
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        loop.run(0)
+    from gea.utils.checkpoint import latest_step
+
+    assert latest_step(run_dir) is not None
+
+
+def test_maybe_resume_roundtrip(tmp_path):
+    from gea.utils.checkpoint import save_checkpoint
+
+    cfg = TrainGLISConfig(save_path=str(tmp_path), dataset="synthetic")
+    state = StubState(step=jnp.asarray(12, jnp.int32), params_g=jnp.ones(()))
+    save_checkpoint(str(tmp_path), 12, state)
+    restored, start = maybe_resume(cfg, StubState(step=jnp.zeros((), jnp.int32), params_g=jnp.zeros(())))
+    assert start == 12
+    assert float(restored.params_g) == 1.0
+    # no checkpoints anywhere -> fresh start
+    cfg2 = TrainGLISConfig(save_path=str(tmp_path / "fresh"), dataset="synthetic")
+    _, start2 = maybe_resume(cfg2, state)
+    assert start2 == 0
