@@ -19,11 +19,11 @@ import numpy as np
 
 from gea.config import TrainRIterativeConfig
 from gea.models import Discriminator, GeneratorLIS, Reverter
-from gea.parallel import make_parallel_step
-from gea.parallel.dp import replicate_state
+from gea.parallel.dp import make_parallel_input_step, replicate_state
 from gea.parallel.mesh import DATA_AXIS
 from gea.train.runner import (
     TrainLoop,
+    fuse_input_pipeline,
     input_iterator,
     maybe_resume,
     prepare_run,
@@ -106,13 +106,14 @@ def run(cfg: TrainRIterativeConfig):
     step = build_r_iterative_step(
         cfg, generator, discriminator, reverter, tx_g, tx_d, tx_r, axis_name=axis
     )
+    fused = fuse_input_pipeline(cfg, step, axis_name=axis)
     if mesh is not None:
-        step_fn = make_parallel_step(step, mesh)
+        step_fn = make_parallel_input_step(fused, mesh)
         state = replicate_state(state, mesh)
     else:
-        step_fn = jax.jit(step, donate_argnums=0)
+        step_fn = jax.jit(fused, donate_argnums=0)
 
-    data_iter, preprocess = input_iterator(cfg, mesh, cfg.seed)
+    data_iter = input_iterator(cfg, mesh, cfg.seed)
     vis = make_vis_fn(cfg, generator, reverter, run_dir)
     loop = TrainLoop(
         cfg,
@@ -120,7 +121,6 @@ def run(cfg: TrainRIterativeConfig):
         state,
         step_fn,
         data_iter,
-        preprocess,
         vis_fn=vis,
         num_chips=num_chips,
         loss_keys=("loss_d", "loss_g", "loss_r_sim"),

@@ -23,8 +23,7 @@ import numpy as np
 from gea.config import TrainRSeparateConfig
 from gea.cli.sample import load_generator
 from gea.models import Reverter
-from gea.parallel import make_parallel_step
-from gea.parallel.dp import replicate_state
+from gea.parallel.dp import make_parallel_input_step, replicate_state
 from gea.parallel.mesh import DATA_AXIS
 from gea.train.runner import TrainLoop, maybe_resume, prepare_run, resolve_mesh
 from gea.train.state import GANTrainState, make_optimizer, param_count
@@ -136,11 +135,15 @@ def run(cfg: TrainRSeparateConfig):
     step = build_r_separate_step(
         cfg, generator, reverter, g_variables, tx_r, axis_name=axis
     )
+
+    def step_no_input(state, raw, rng):
+        return step(state, raw)
+
     if mesh is not None:
-        step_fn = make_parallel_step(step, mesh)
+        step_fn = make_parallel_input_step(step_no_input, mesh)
         state = replicate_state(state, mesh)
     else:
-        step_fn = jax.jit(step, donate_argnums=0)
+        step_fn = jax.jit(step_no_input, donate_argnums=0)
 
     vis = make_vis_fn(cfg, generator, g_variables, reverter, run_dir)
     loop = TrainLoop(
@@ -149,7 +152,6 @@ def run(cfg: TrainRSeparateConfig):
         state,
         step_fn,
         _dummy_data(num_chips),
-        preprocess=lambda raw, rng: raw,
         vis_fn=vis,
         num_chips=num_chips,
         loss_keys=("loss_r",),

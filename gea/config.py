@@ -194,6 +194,12 @@ class DataConfig(BaseConfig):
         "auto (native when available and the folder is all-JPEG)",
         choices=("auto", "native", "pil"),
     )
+    data_cache: bool = _flag(
+        False,
+        "decode the whole folder once into host RAM (uint8) and serve "
+        "batches from memory — removes JPEG decode from the hot path for "
+        "datasets that fit (CelebA at decode 96-160 is 5-15 GB)",
+    )
     on_device_pipeline: bool = _flag(
         True,
         "crop/resize/flip/normalize on device (jit) instead of on host; "

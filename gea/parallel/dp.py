@@ -56,6 +56,22 @@ def make_parallel_step(
     return jax.jit(mapped, donate_argnums=0)
 
 
+def make_parallel_input_step(
+    step_fn: Callable[[Any, jax.Array, jax.Array], Tuple[Any, Any]],
+    mesh: Mesh,
+) -> Callable[[Any, jax.Array, jax.Array], Tuple[Any, Any]]:
+    """Like make_parallel_step but for fused-input steps
+    step(state, raw_batch, rng): raw sharded over the data axis, the rng
+    key replicated (the step folds in the device index itself)."""
+    mapped = _shard_map(
+        step_fn,
+        mesh,
+        in_specs=(P(), P(DATA_AXIS), P()),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(mapped, donate_argnums=0)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 

@@ -41,32 +41,21 @@ def resolve_mesh(cfg):
     return make_mesh(n)
 
 
-def input_iterator(
-    cfg, mesh, seed: int
-) -> Tuple[Iterator[jax.Array], Callable[[jax.Array, jax.Array], jax.Array]]:
-    """Returns (device batch iterator, preprocess fn).
+def input_iterator(cfg, mesh, seed: int) -> Iterator[jax.Array]:
+    """Device-side input stream.
 
-    Default: host decodes uint8, crop/resize/flip/normalize runs jitted on
-    device. With ``on_device_pipeline=False`` the full reference-style
-    transform chain runs on host (gea/data/hostpre.py) and preprocessing
-    on device is the identity.
+    Default (on-device pipeline): host decodes uint8 only; the jitted
+    train step itself crops/resizes/flips/normalizes (the preprocess is
+    FUSED into the step by `fuse_input_pipeline`, so one dispatch per
+    iteration covers input + update). With ``on_device_pipeline=False``
+    the full reference-style transform chain runs on host
+    (gea/data/hostpre.py) and float batches stream to the device.
     """
     ds = make_dataset(cfg, seed=seed)
     sharding = batch_sharding(mesh) if mesh is not None else None
 
     if getattr(cfg, "on_device_pipeline", True):
-        it = device_prefetch(ds.batches(), sharding=sharding, depth=2)
-
-        def preprocess(raw: jax.Array, rng: jax.Array) -> jax.Array:
-            return preprocess_batch(
-                raw,
-                rng,
-                crop_size=cfg.crop_size,
-                image_size=cfg.image_size,
-                augment_flip=cfg.augment_flip,
-            )
-
-        return it, preprocess
+        return device_prefetch(ds.batches(), sharding=sharding, depth=3)
 
     from gea.data.hostpre import host_preprocess
 
@@ -82,8 +71,37 @@ def input_iterator(
                 augment_flip=cfg.augment_flip,
             )
 
-    it = device_prefetch(host_batches(), sharding=sharding, depth=2)
-    return it, lambda batch, rng: batch
+    return device_prefetch(host_batches(), sharding=sharding, depth=3)
+
+
+def fuse_input_pipeline(cfg, step_fn, axis_name: str = None):
+    """Wrap step(state, real) into step(state, raw, rng) with the
+    on-device preprocess inlined, so input transform + train update
+    compile to ONE XLA program (one dispatch per iteration — halves the
+    host->device round trips through remote/tunneled runtimes). Under
+    shard_map, pass `axis_name` so each device draws its own flip mask."""
+    if getattr(cfg, "on_device_pipeline", True):
+
+        def fused(state, raw, rng):
+            if axis_name is not None:
+                rng = jax.random.fold_in(
+                    rng, jax.lax.axis_index(axis_name)
+                )
+            real = preprocess_batch(
+                raw,
+                rng,
+                crop_size=cfg.crop_size,
+                image_size=cfg.image_size,
+                augment_flip=cfg.augment_flip,
+            )
+            return step_fn(state, real)
+
+        return fused
+
+    def passthrough(state, batch, rng):
+        return step_fn(state, batch)
+
+    return passthrough
 
 
 def maybe_resume(cfg, state):
@@ -103,7 +121,9 @@ def maybe_resume(cfg, state):
 
 class TrainLoop:
     """Drives step_fn over the input stream with the reference's periodic
-    side-effects. step_fn: (state, real_batch) -> (state, metrics)."""
+    side-effects. step_fn: (state, raw_batch, rng) -> (state, metrics) —
+    build it with `fuse_input_pipeline` (or ignore raw/rng for input-free
+    steps like R-separate)."""
 
     def __init__(
         self,
@@ -112,7 +132,6 @@ class TrainLoop:
         state,
         step_fn,
         data_iter,
-        preprocess,
         vis_fn: Optional[Callable[[Any, int], None]] = None,
         num_chips: int = 1,
         loss_keys: Tuple[str, ...] = ("loss_d", "loss_g"),
@@ -122,7 +141,6 @@ class TrainLoop:
         self.state = state
         self.step_fn = step_fn
         self.data_iter = data_iter
-        self.preprocess = preprocess
         self.vis_fn = vis_fn
         self.num_chips = num_chips
         self.loss_keys = loss_keys
@@ -157,8 +175,7 @@ class TrainLoop:
         for it in range(start_step, cfg.niter):
             raw = next(self.data_iter)
             self._data_rng, prng = jax.random.split(self._data_rng)
-            real = self.preprocess(raw, prng)
-            self.state, metrics = self.step_fn(self.state, real)
+            self.state, metrics = self.step_fn(self.state, raw, prng)
             self.meter.tick()
 
             profile_dir = getattr(cfg, "profile_dir", "")

@@ -58,6 +58,21 @@ def test_loader_streams_batches(jpeg_dir):
     assert not np.array_equal(batches[0], batches[1])
 
 
+def test_cached_folder_dataset(jpeg_dir):
+    from gea.data.pipeline import CachedFolderDataset
+
+    ds = CachedFolderDataset(
+        os.path.dirname(jpeg_dir[0]), batch_size=4, decode_size=32, workers=2,
+        seed=0,
+    )
+    assert len(ds) == 10
+    it = ds.batches()
+    b1, b2 = next(it), next(it)
+    assert b1.shape == (4, 32, 32, 3) and b1.dtype == np.uint8
+    assert b1.mean() > 10
+    assert not np.array_equal(b1, b2)
+
+
 def test_make_dataset_selects_native(jpeg_dir, tmp_path):
     from gea.config import TrainGLISConfig
     from gea.data.pipeline import make_dataset

@@ -34,7 +34,7 @@ def make_loop(tmp_path, niter=10, nan_at=None, **cfg_kw):
     )
     run_dir = prepare_run(cfg)
 
-    def step_fn(state, batch):
+    def step_fn(state, batch, rng):
         s = int(state.step)
         loss = jnp.float32(np.nan) if (nan_at is not None and s + 1 == nan_at) else jnp.float32(1.0 / (s + 1))
         new = StubState(step=state.step + 1, params_g=state.params_g + 1.0)
@@ -51,7 +51,6 @@ def make_loop(tmp_path, niter=10, nan_at=None, **cfg_kw):
         StubState(step=jnp.zeros((), jnp.int32), params_g=jnp.zeros(())),
         step_fn,
         data_iter(),
-        preprocess=lambda raw, rng: raw,
         vis_fn=lambda state, step: vis_calls.append(step),
         loss_keys=("loss_d", "loss_g"),
     )
