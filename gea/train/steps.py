@@ -90,16 +90,40 @@ def build_glis_train_step(
             else None
         )
 
-        # ------------------------------------------------ D step (fakes detached)
-        fakes, _zs = _apply_model(
-            generator,
-            state.params_g,
-            state.extras_g,
-            z,
-            train=True,
-            spatial_noise=sn,
-        )[0]
-        fakes = lax.stop_gradient(fakes)  # (S, B, H, W, 3)
+        # -------------------------------------------- G forward (ONCE)
+        # One generator forward serves both players, exactly like the
+        # reference's single `fakes = G(z)` reused for the D step
+        # (detached) and the G step (backward through the same graph):
+        # jax.vjp captures the forward residuals so the G-step gradient
+        # is a pure pullback — no second G forward. (Batch-norm G keeps
+        # the two-forward path because its forward mutates state.)
+        share_g_forward = not state.extras_g
+
+        if share_g_forward:
+
+            def g_images(params_g):
+                (images, _zs), _ = _apply_model(
+                    generator,
+                    params_g,
+                    state.extras_g,
+                    z,
+                    train=True,
+                    spatial_noise=sn,
+                )
+                return images
+
+            fakes_live, g_pullback = jax.vjp(g_images, state.params_g)
+        else:
+            fakes_live, _zs = _apply_model(
+                generator,
+                state.params_g,
+                state.extras_g,
+                z,
+                train=True,
+                spatial_noise=sn,
+            )[0]
+            g_pullback = None
+        fakes = lax.stop_gradient(fakes_live)  # (S, B, H, W, 3)
         flat_fakes = fakes.reshape(-1, *fakes.shape[2:])
 
         def d_loss_fn(params_d):
@@ -139,26 +163,44 @@ def build_glis_train_step(
         params_d = optax.apply_updates(state.params_d, updates_d)
 
         # ------------------------------------------------ G step (vs updated D)
-        def g_loss_fn(params_g):
-            (images, _), new_extras_g = _apply_model(
-                generator,
-                params_g,
-                state.extras_g,
-                z,
-                train=True,
-                spatial_noise=sn,
-            )
-            flat = images.reshape(-1, *images.shape[2:])
-            logits, _ = _apply_model(
-                discriminator, params_d, extras_d, flat, train=True
-            )
-            logits = logits.reshape(n_stages, batch)
-            loss = losses.staged_loss(logits, weights, 1.0)
-            return loss, (new_extras_g, logits)
+        if share_g_forward:
+            # d(loss_g)/d(images) against the UPDATED discriminator, then
+            # pull back through the saved G forward.
+            def img_loss_fn(images):
+                flat = images.reshape(-1, *images.shape[2:])
+                logits, _ = _apply_model(
+                    discriminator, params_d, extras_d, flat, train=True
+                )
+                logits = logits.reshape(n_stages, batch)
+                return losses.staged_loss(logits, weights, 1.0), logits
 
-        (loss_g, (extras_g, logits_fake_g)), grads_g = jax.value_and_grad(
-            g_loss_fn, has_aux=True
-        )(state.params_g)
+            (loss_g, logits_fake_g), d_images = jax.value_and_grad(
+                img_loss_fn, has_aux=True
+            )(fakes_live)
+            (grads_g,) = g_pullback(d_images.astype(fakes_live.dtype))
+            extras_g = state.extras_g
+        else:
+
+            def g_loss_fn(params_g):
+                (images, _), new_extras_g = _apply_model(
+                    generator,
+                    params_g,
+                    state.extras_g,
+                    z,
+                    train=True,
+                    spatial_noise=sn,
+                )
+                flat = images.reshape(-1, *images.shape[2:])
+                logits, _ = _apply_model(
+                    discriminator, params_d, extras_d, flat, train=True
+                )
+                logits = logits.reshape(n_stages, batch)
+                loss = losses.staged_loss(logits, weights, 1.0)
+                return loss, (new_extras_g, logits)
+
+            (loss_g, (extras_g, logits_fake_g)), grads_g = jax.value_and_grad(
+                g_loss_fn, has_aux=True
+            )(state.params_g)
         grads_g = _maybe_pmean(grads_g, axis_name)
         updates_g, opt_g = tx_g.update(grads_g, state.opt_g, state.params_g)
         params_g = optax.apply_updates(state.params_g, updates_g)
