@@ -229,6 +229,9 @@ class TrainGLISConfig(ModelConfig, DataConfig):
     save_path: str = _flag("runs/glis", "experiment directory for outputs")
     load_path: str = _flag("", "resume from this experiment directory")
     save_interval: int = _flag(2000, "checkpoint every N iterations")
+    keep_checkpoints: int = _flag(
+        0, "retain only the newest K checkpoints (0 = keep all)"
+    )
     vis_interval: int = _flag(500, "sample grid + loss plot every N iters")
     vis_rows: int = _flag(8, "rows (and cols) of the sample grid")
     log_interval: int = _flag(50, "stdout loss print every N iterations")
@@ -288,6 +291,9 @@ class TrainRConfig(ModelConfig, DataConfig):
     save_path: str = _flag("runs/r", "experiment directory for outputs")
     load_path: str = _flag("", "resume this R run from its directory")
     save_interval: int = _flag(2000, "checkpoint every N iterations")
+    keep_checkpoints: int = _flag(
+        0, "retain only the newest K checkpoints (0 = keep all)"
+    )
     vis_interval: int = _flag(500, "sample grid + loss plot every N iters")
     vis_rows: int = _flag(8, "rows (and cols) of the sample grid")
     log_interval: int = _flag(50, "stdout loss print every N iterations")

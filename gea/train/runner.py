@@ -222,6 +222,11 @@ class TrainLoop:
                 self.plotter.plot(os.path.join(self.run_dir, "plots", "loss.png"))
 
             if step_now % cfg.save_interval == 0 or step_now == cfg.niter:
-                save_checkpoint(self.run_dir, step_now, self.state)
+                save_checkpoint(
+                    self.run_dir,
+                    step_now,
+                    self.state,
+                    keep=getattr(cfg, "keep_checkpoints", 0),
+                )
 
         return self.state

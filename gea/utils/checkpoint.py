@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 import re
+import shutil
 from typing import Any, Optional
 
 import jax
@@ -29,10 +30,22 @@ def _ckpt_root(run_dir: str) -> str:
     return os.path.join(os.path.abspath(run_dir), "checkpoints")
 
 
-def save_checkpoint(run_dir: str, step: int, state: Any) -> None:
+def save_checkpoint(
+    run_dir: str, step: int, state: Any, keep: int = 0
+) -> None:
+    """Write the checkpoint for `step`; with keep > 0, prune all but the
+    newest `keep` step directories afterwards (the reference keeps every
+    torch.save — retention is a TPU-native quality-of-life addition)."""
     path = os.path.join(_ckpt_root(run_dir), str(step))
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(path, jax.device_get(state), force=True)
+    if keep > 0:
+        root = _ckpt_root(run_dir)
+        steps = sorted(
+            int(d) for d in os.listdir(root) if re.fullmatch(r"\d+", d)
+        )
+        for old in steps[:-keep]:
+            shutil.rmtree(os.path.join(root, str(old)), ignore_errors=True)
 
 
 def latest_step(run_dir: str) -> Optional[int]:

@@ -67,6 +67,15 @@ def test_latest_step_picks_max(tmp_path):
     assert latest_step(str(tmp_path)) == 20
 
 
+def test_checkpoint_retention(tmp_path):
+    cfg = tiny_cfg(save_path=str(tmp_path))
+    _, _, _, state = make_state(cfg)
+    for s in (1, 2, 3, 4):
+        save_checkpoint(str(tmp_path), s, state, keep=2)
+    root = os.path.join(str(tmp_path), "checkpoints")
+    assert sorted(int(d) for d in os.listdir(root)) == [3, 4]
+
+
 def test_cross_tool_frozen_g_contract(tmp_path):
     """R-separate must rebuild + load a generator from a G-LIS run dir via
     config.json + checkpoint only (SURVEY.md §7 hard part #7)."""

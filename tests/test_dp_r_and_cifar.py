@@ -56,6 +56,42 @@ def test_r_separate_dp_step():
         assert leaf.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
+def test_glis_dp_step_with_spatial_noise():
+    """BASELINE.json config-5 shape (DP + spatial noise channels) on the
+    virtual mesh: the per-device spatial noise draw + tile/concat must
+    compile and keep params replicated."""
+    from gea.train.steps import build_glis_train_step
+
+    cfg = TrainGLISConfig(
+        image_size=16, code_size=16, r_iterations=1, spatial_code=2,
+        norm="weight", num_features=4, max_features=16, dtype="float32",
+        batch_size=16, dataset="synthetic",
+    )
+    mesh = make_mesh(8)
+    g = GeneratorLIS.from_config(cfg)
+    d = Discriminator.from_config(cfg)
+    tx = make_optimizer(cfg.lr, cfg.beta1, cfg.beta2)
+    state = create_glis_state(cfg, g, d, tx, tx, 0)
+    step = build_glis_train_step(cfg, g, d, tx, tx, axis_name=DATA_AXIS)
+
+    def step3(state, raw, rng):
+        return step(state, raw)
+
+    pstep = make_parallel_input_step(step3, mesh)
+    state = replicate_state(state, mesh)
+    real = shard_batch(
+        np.random.default_rng(0)
+        .uniform(-1, 1, (16, 16, 16, 3))
+        .astype(np.float32),
+        mesh,
+    )
+    new_state, metrics = pstep(state, real, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss_d"]))
+    for leaf in jax.tree_util.tree_leaves(new_state.params_g):
+        assert leaf.sharding.is_fully_replicated
+
+
 def test_cifar10_dataset(tmp_path):
     rng = np.random.default_rng(0)
     data = (rng.random((50, 3 * 32 * 32)) * 255).astype(np.uint8)
