@@ -15,7 +15,6 @@ Synthetic smoke run (config 1, CPU-runnable):
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Optional
 

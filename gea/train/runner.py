@@ -8,7 +8,6 @@ factored into one place."""
 from __future__ import annotations
 
 import os
-import time
 from typing import Any, Callable, Dict, Iterator, Optional, Tuple
 
 import jax

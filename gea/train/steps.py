@@ -25,7 +25,6 @@ TPU-native structure:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
