@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from gea.config import ModelConfig
-from gea.ops.layers import ConvTranspose, Dense, NormAct, TPReLU
+from gea.ops.layers import ConvTranspose, Dense, NormAct
 
 
 def generator_plan(image_size: int) -> Tuple[int, int]:
