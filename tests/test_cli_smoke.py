@@ -1,0 +1,115 @@
+"""In-process CLI smoke tests (SURVEY.md §4 'Integration'): every tool's
+main() runs a tiny end-to-end flow on CPU — argparse wiring, run-dir
+artifacts, cross-tool checkpoint handoff, and the compat shims."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+# --num_devices 1: the test env exposes 8 virtual CPU devices and the
+# trainers default to data-parallel over all of them.
+TINY = [
+    "--dataset", "synthetic", "--image_size", "16", "--code_size", "16",
+    "--num_features", "4", "--max_features", "16", "--batch_size", "4",
+    "--dtype", "float32", "--log_interval", "1", "--vis_rows", "2",
+    "--num_devices", "1",
+]
+
+
+@pytest.mark.slow
+def test_full_cli_flow(tmp_path):
+    from gea.cli import (
+        sample,
+        sample_interpolations,
+        sample_r_iterative,
+        sample_r_separate,
+        train_glis,
+        train_r_iterative,
+        train_r_separate,
+    )
+
+    g_dir = str(tmp_path / "g")
+    train_glis.main(
+        TINY
+        + ["--r_iterations", "1", "--niter", "2", "--vis_interval", "2",
+           "--save_interval", "2", "--save_path", g_dir]
+    )
+    assert os.path.exists(os.path.join(g_dir, "config.json"))
+    assert os.path.isdir(os.path.join(g_dir, "checkpoints", "2"))
+    assert any(
+        f.endswith(".png") for f in os.listdir(os.path.join(g_dir, "samples"))
+    )
+
+    # resume contract: running again with higher niter continues
+    train_glis.main(
+        TINY
+        + ["--r_iterations", "1", "--niter", "3", "--vis_interval", "10",
+           "--save_interval", "3", "--save_path", g_dir]
+    )
+    assert os.path.isdir(os.path.join(g_dir, "checkpoints", "3"))
+
+    out = str(tmp_path / "samples")
+    sample.main(
+        ["--load_path", g_dir, "--save_path_samples", out, "--count", "4",
+         "--batch_size", "4", "--grid_rows", "2"]
+    )
+    assert any(f.endswith(".png") for f in os.listdir(out))
+
+    interp = str(tmp_path / "interp")
+    sample_interpolations.main(
+        ["--load_path", g_dir, "--save_path_samples", interp,
+         "--interp_pairs", "2", "--interp_points", "3"]
+    )
+    assert any(f.endswith(".png") for f in os.listdir(interp))
+
+    # R-separate consumes the frozen G run dir
+    r_dir = str(tmp_path / "r")
+    train_r_separate.main(
+        TINY
+        + ["--g_path", g_dir, "--r_hidden", "8", "--niter", "2",
+           "--vis_interval", "2", "--save_interval", "2",
+           "--save_path", r_dir]
+    )
+    assert os.path.isdir(os.path.join(r_dir, "checkpoints", "2"))
+
+    rs_out = str(tmp_path / "rs_samples")
+    sample_r_separate.main(
+        ["--load_path", r_dir, "--save_path_samples", rs_out, "--count", "4",
+         "--batch_size", "4", "--grid_rows", "2", "--correction_steps", "1"]
+    )
+    assert any(f.endswith(".png") for f in os.listdir(rs_out))
+
+    # R-iterative (joint) + its sampler
+    ri_dir = str(tmp_path / "ri")
+    train_r_iterative.main(
+        TINY
+        + ["--r_chain_length", "1", "--r_hidden", "8", "--niter", "2",
+           "--vis_interval", "2", "--save_interval", "2",
+           "--save_path", ri_dir]
+    )
+    ri_out = str(tmp_path / "ri_samples")
+    sample_r_iterative.main(
+        ["--load_path", ri_dir, "--save_path_samples", ri_out, "--count", "4",
+         "--batch_size", "4", "--grid_rows", "2", "--chain_length", "1"]
+    )
+    assert any(f.endswith(".png") for f in os.listdir(ri_out))
+
+
+def test_compat_shims_exist_and_point_at_cli():
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    expected = {
+        "compat/g_lis/train.py": "gea.cli.train_glis",
+        "compat/g_lis/sample.py": "gea.cli.sample",
+        "compat/g_lis/sample_interpolations.py": "gea.cli.sample_interpolations",
+        "compat/r_separate/train_r.py": "gea.cli.train_r_separate",
+        "compat/r_separate/sample.py": "gea.cli.sample_r_separate",
+        "compat/r_iterative/train.py": "gea.cli.train_r_iterative",
+        "compat/r_iterative/sample.py": "gea.cli.sample_r_iterative",
+    }
+    for rel, module in expected.items():
+        path = os.path.join(root, rel)
+        assert os.path.exists(path), rel
+        src = open(path).read()
+        assert f"from {module} import main" in src, rel
