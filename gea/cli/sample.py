@@ -38,22 +38,56 @@ def load_generator(
     return generator, variables, train_cfg
 
 
+def load_discriminator(load_path: str):
+    """Rebuild the run's discriminator from the same checkpoint — used by
+    the error-avoidance resampling filter."""
+    from gea.models import Discriminator
+
+    train_cfg = TrainGLISConfig.load(os.path.join(load_path, "config.json"))
+    discriminator = Discriminator.from_config(train_cfg)
+    restored = restore_checkpoint(load_path, target=None)
+    variables = {
+        "params": restored["params_d"],
+        **(restored.get("extras_d") or {}),
+    }
+    return discriminator, variables
+
+
 def run(cfg: SampleConfig):
     generator, variables, train_cfg = load_generator(cfg.load_path)
     out_dir = cfg.save_path_samples or os.path.join(cfg.load_path, "samples_cli")
     os.makedirs(out_dir, exist_ok=True)
 
-    render = jax.jit(
-        lambda z, sn: generator.render(variables, z, spatial_noise=sn)[0]
-    )
+    oversample = max(1, cfg.oversample) if cfg.d_filter else 1
+    if cfg.d_filter:
+        discriminator, d_vars = load_discriminator(cfg.load_path)
+
+        @jax.jit
+        def render(z, sn):
+            """Error-avoidance resampling (reference C13): render
+            `oversample`x candidates, score the FINAL LIS stage with the
+            trained discriminator, and keep the best batch — defective
+            z's that even the LIS chain could not rescue are dropped."""
+            images, _ = generator.render(variables, z, spatial_noise=sn)
+            scores = discriminator.apply(d_vars, images[-1], train=False)
+            n_keep = z.shape[0] // oversample
+            _, keep = jax.lax.top_k(scores, n_keep)
+            return images[:, keep]
+
+    else:
+        render = jax.jit(
+            lambda z, sn: generator.render(variables, z, spatial_noise=sn)[0]
+        )
     rng = jax.random.PRNGKey(cfg.seed)
     done = 0
     batch_idx = 0
     while done < cfg.count:
         n = min(cfg.batch_size, cfg.count - done)
         rng, z_rng, sn_rng = jax.random.split(rng, 3)
-        z = jax.random.normal(z_rng, (n, train_cfg.code_size), jnp.float32)
-        sn_shape = generator.spatial_noise_shape(n)
+        z = jax.random.normal(
+            z_rng, (n * oversample, train_cfg.code_size), jnp.float32
+        )
+        sn_shape = generator.spatial_noise_shape(n * oversample)
         sn = (
             jax.random.normal(sn_rng, sn_shape, jnp.float32)
             if sn_shape

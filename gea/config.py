@@ -260,6 +260,15 @@ class SampleConfig(ModelConfig, BaseConfig):
     batch_size: int = _flag(64, "generation batch size")
     seed: int = _flag(0, "PRNG seed for the noise batch")
     grid_rows: int = _flag(8, "rows of each output grid")
+    d_filter: bool = _flag(
+        False,
+        "error-avoidance resampling: render oversample*batch candidates, "
+        "score the final LIS stage with the run's discriminator and keep "
+        "only the best batch (reference C13)",
+    )
+    oversample: int = _flag(
+        4, "candidate multiplier for --d_filter resampling"
+    )
 
 
 @dataclass(frozen=True)
