@@ -247,6 +247,11 @@ class TrainGLISConfig(ModelConfig, DataConfig):
     tensorboard: bool = _flag(
         False, "also write scalars to <save_path>/tb via tf.summary"
     )
+    multihost: bool = _flag(
+        False,
+        "call jax.distributed.initialize() at startup (multi-host pods; "
+        "requires the standard TPU cluster environment)",
+    )
 
 
 @dataclass(frozen=True)
@@ -313,6 +318,11 @@ class TrainRConfig(ModelConfig, DataConfig):
     )
     tensorboard: bool = _flag(
         False, "also write scalars to <save_path>/tb via tf.summary"
+    )
+    multihost: bool = _flag(
+        False,
+        "call jax.distributed.initialize() at startup (multi-host pods; "
+        "requires the standard TPU cluster environment)",
     )
 
 

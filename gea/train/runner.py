@@ -26,8 +26,20 @@ from gea.utils.plotting import LossPlotter
 
 
 def prepare_run(cfg) -> str:
+    if getattr(cfg, "multihost", False):
+        # Multi-host pods (SURVEY.md §2/§5): coordinator discovery over
+        # DCN via the standard cluster env; after this, jax.devices()
+        # spans every host and the same 1-axis data mesh rides ICI
+        # within slices and DCN across them.
+        jax.distributed.initialize()
+        print(
+            f"[gea] multihost: process {jax.process_index()}/"
+            f"{jax.process_count()}, {len(jax.devices())} devices"
+        )
     run_dir = os.path.abspath(cfg.save_path)
     os.makedirs(run_dir, exist_ok=True)
+    if getattr(cfg, "multihost", False) and jax.process_index() != 0:
+        return run_dir
     cfg.save(os.path.join(run_dir, "config.json"))
     return run_dir
 
