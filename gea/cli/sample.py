@@ -18,18 +18,16 @@ import numpy as np
 from gea.config import SampleConfig, TrainGLISConfig
 from gea.models import GeneratorLIS
 from gea.utils.checkpoint import restore_checkpoint
-from gea.utils.grids import save_image_grid, save_stage_grids
+from gea.utils.grids import save_stage_grids
 
 
 def load_generator(
-    load_path: str, override: Optional[Any] = None
+    load_path: str,
 ) -> Tuple[GeneratorLIS, Dict[str, Any], TrainGLISConfig]:
     """Rebuild the generator from a run dir's config.json + latest
     checkpoint. This is the cross-tool checkpoint contract (SURVEY.md §7
     hard part #7) that R-separate also relies on."""
     train_cfg = TrainGLISConfig.load(os.path.join(load_path, "config.json"))
-    if override is not None:
-        train_cfg = train_cfg  # sampler flags never change architecture
     generator = GeneratorLIS.from_config(train_cfg)
     restored = restore_checkpoint(load_path, target=None)
     params_g = restored["params_g"]

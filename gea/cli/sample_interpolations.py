@@ -18,7 +18,7 @@ import numpy as np
 
 from gea.config import SampleInterpolationsConfig
 from gea.cli.sample import load_generator
-from gea.utils.grids import save_image_grid, to_uint8, tile_grid
+from gea.utils.grids import tile_grid, to_uint8
 
 
 def slerp(z_a: jnp.ndarray, z_b: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
