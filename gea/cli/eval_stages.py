@@ -1,0 +1,119 @@
+"""Per-LIS-stage evaluation CLI — quantifies the error-avoidance effect
+(the core claim of arXiv:1707.00768): for each stage image z_0..z_N it
+reports (a) the mean trained-discriminator realism score and (b) the
+Frechet distance to the real data, so the improvement from each LIS
+refinement is a number, not just a grid.
+
+    python -m gea.cli.eval_stages --load_path runs/glis3_80 \
+        --dataset folder --dataroot /data/celeba --num_samples 2048
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gea.cli.compute_fid import real_batch_iter
+from gea.cli.sample import load_discriminator, load_generator
+from gea.eval.fid import FIDStats, compute_stats, frechet_distance, make_feature_extractor
+
+
+def main(argv: Optional[list] = None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--load_path", required=True, help="trained G-LIS run dir")
+    p.add_argument("--dataset", default="synthetic")
+    p.add_argument("--dataroot", default="")
+    p.add_argument("--num_samples", type=int, default=2048)
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="", help="optional JSON output path")
+    a = p.parse_args(argv)
+
+    generator, g_vars, cfg = load_generator(a.load_path)
+    discriminator, d_vars = load_discriminator(a.load_path)
+    n_stages = cfg.r_iterations + 1
+
+    @jax.jit
+    def render_and_score(z, sn):
+        images, _ = generator.render(g_vars, z, spatial_noise=sn)
+        flat = images.reshape(-1, *images.shape[2:])
+        scores = jax.nn.sigmoid(
+            discriminator.apply(d_vars, flat, train=False)
+        ).reshape(n_stages, -1)
+        return images, scores
+
+    extract, label = make_feature_extractor(cfg.image_size, "auto")
+    stage_stats = [None] * n_stages
+    d_scores = [[] for _ in range(n_stages)]
+
+    rng = jax.random.PRNGKey(a.seed)
+    done = 0
+    while done < a.num_samples:
+        n = min(a.batch_size, a.num_samples - done)
+        rng, z_rng, sn_rng = jax.random.split(rng, 3)
+        z = jax.random.normal(z_rng, (n, cfg.code_size), jnp.float32)
+        sn_shape = generator.spatial_noise_shape(n)
+        sn = (
+            jax.random.normal(sn_rng, sn_shape, jnp.float32)
+            if sn_shape
+            else None
+        )
+        images, scores = render_and_score(z, sn)
+        scores = np.asarray(jax.device_get(scores))
+        for s in range(n_stages):
+            d_scores[s].append(scores[s])
+            feats = np.asarray(jax.device_get(extract(images[s])))
+            if stage_stats[s] is None:
+                stage_stats[s] = FIDStats.empty(feats.shape[-1])
+            stage_stats[s].update(feats)
+        done += n
+
+    real_stats = compute_stats(
+        real_batch_iter(
+            cfg.replace(
+                dataset=a.dataset,
+                dataroot=a.dataroot or cfg.dataroot,
+                batch_size=a.batch_size,
+            ),
+            a.seed,
+        ),
+        extract,
+        a.num_samples,
+    )
+
+    stages = []
+    for s in range(n_stages):
+        fid = frechet_distance(
+            real_stats.mean,
+            real_stats.cov,
+            stage_stats[s].mean,
+            stage_stats[s].cov,
+        )
+        stages.append(
+            {
+                "stage": s,
+                "d_score_mean": round(float(np.mean(np.concatenate(d_scores[s]))), 4),
+                "frechet": round(fid, 4),
+            }
+        )
+    result = {
+        "metric": label,
+        "num_samples": a.num_samples,
+        "stages": stages,
+        "load_path": os.path.abspath(a.load_path),
+    }
+    print(json.dumps(result))
+    if a.out:
+        with open(a.out, "w") as f:
+            json.dump(result, f, indent=2)
+    return result
+
+
+if __name__ == "__main__":
+    main()
