@@ -19,7 +19,12 @@ from gea.data.pipeline import make_dataset
 from gea.data.prefetch import device_prefetch
 from gea.parallel import make_mesh
 from gea.parallel.dp import batch_sharding
-from gea.utils.checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from gea.utils.checkpoint import (
+    latest_step,
+    restore_checkpoint,
+    save_checkpoint,
+    wait_for_checkpoints,
+)
 from gea.utils.grids import save_stage_grids
 from gea.utils.meters import ThroughputMeter
 from gea.utils.plotting import LossPlotter
@@ -233,11 +238,15 @@ class TrainLoop:
                 self.plotter.plot(os.path.join(self.run_dir, "plots", "loss.png"))
 
             if step_now % cfg.save_interval == 0 or step_now == cfg.niter:
+                # Async: serialization overlaps the next train steps
+                # (orbax AsyncCheckpointer); we block only on loop exit.
                 save_checkpoint(
                     self.run_dir,
                     step_now,
                     self.state,
                     keep=getattr(cfg, "keep_checkpoints", 0),
+                    async_save=True,
                 )
 
+        wait_for_checkpoints()
         return self.state

@@ -30,21 +30,49 @@ def _ckpt_root(run_dir: str) -> str:
     return os.path.join(os.path.abspath(run_dir), "checkpoints")
 
 
+_async_ckptr: Any = None
+
+
+def _get_async_checkpointer():
+    global _async_ckptr
+    if _async_ckptr is None:
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _async_ckptr
+
+
+def wait_for_checkpoints() -> None:
+    """Block until every in-flight async save has committed."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
+
+
 def save_checkpoint(
-    run_dir: str, step: int, state: Any, keep: int = 0
+    run_dir: str, step: int, state: Any, keep: int = 0, async_save: bool = False
 ) -> None:
     """Write the checkpoint for `step`; with keep > 0, prune all but the
     newest `keep` step directories afterwards (the reference keeps every
-    torch.save — retention is a TPU-native quality-of-life addition)."""
+    torch.save — retention is a TPU-native quality-of-life addition).
+
+    With async_save the device->host gather happens now but serialization
+    runs on a background thread (orbax AsyncCheckpointer, SURVEY.md §5
+    'Failure detection'), so the train loop never stalls on disk; callers
+    must invoke `wait_for_checkpoints()` before exiting or restoring.
+    """
     path = os.path.join(_ckpt_root(run_dir), str(step))
-    ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(path, jax.device_get(state), force=True)
+    if async_save:
+        ckptr = _get_async_checkpointer()
+        ckptr.wait_until_finished()  # at most one save in flight
+        ckptr.save(path, jax.device_get(state), force=True)
+    else:
+        ocp.PyTreeCheckpointer().save(path, jax.device_get(state), force=True)
     if keep > 0:
         root = _ckpt_root(run_dir)
         steps = sorted(
             int(d) for d in os.listdir(root) if re.fullmatch(r"\d+", d)
         )
         for old in steps[:-keep]:
+            if old == step:
+                continue
             shutil.rmtree(os.path.join(root, str(old)), ignore_errors=True)
 
 
@@ -60,6 +88,7 @@ def restore_checkpoint(run_dir: str, target: Any, step: Optional[int] = None) ->
     """Restore into the structure of `target` (an abstract or concrete
     GANTrainState). Picks the latest step when none is given — the
     'auto-resume-from-latest' elastic-lite contract (SURVEY.md §5)."""
+    wait_for_checkpoints()  # an in-flight async save may be the latest
     if step is None:
         step = latest_step(run_dir)
     if step is None:
