@@ -96,8 +96,14 @@ def run(cfg: TrainGLISConfig):
     )
     fused = fuse_input_pipeline(cfg, step, axis_name=axis)
     if mesh is not None:
+        if cfg.debug_checks:
+            raise SystemExit("--debug_checks is single-device only")
         step_fn = make_parallel_input_step(fused, mesh)
         state = replicate_state(state, mesh)
+    elif cfg.debug_checks:
+        from gea.utils.debug import checked
+
+        step_fn = checked(fused)
     else:
         step_fn = jax.jit(fused, donate_argnums=0)
 

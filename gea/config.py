@@ -252,6 +252,12 @@ class TrainGLISConfig(ModelConfig, DataConfig):
         "call jax.distributed.initialize() at startup (multi-host pods; "
         "requires the standard TPU cluster environment)",
     )
+    debug_checks: bool = _flag(
+        False,
+        "instrument the train step with checkify float checks — raises at "
+        "the first NaN/Inf-producing op with its source location "
+        "(single-device debugging mode, ~2x step cost)",
+    )
 
 
 @dataclass(frozen=True)
@@ -323,6 +329,12 @@ class TrainRConfig(ModelConfig, DataConfig):
         False,
         "call jax.distributed.initialize() at startup (multi-host pods; "
         "requires the standard TPU cluster environment)",
+    )
+    debug_checks: bool = _flag(
+        False,
+        "instrument the train step with checkify float checks — raises at "
+        "the first NaN/Inf-producing op with its source location "
+        "(single-device debugging mode, ~2x step cost)",
     )
 
 

@@ -90,3 +90,19 @@ def test_maybe_resume_roundtrip(tmp_path):
     cfg2 = TrainGLISConfig(save_path=str(tmp_path / "fresh"), dataset="synthetic")
     _, start2 = maybe_resume(cfg2, state)
     assert start2 == 0
+
+
+def test_checked_wrapper_raises_on_nan():
+    """gea/utils/debug.py: checkify float checks raise at the producing op."""
+    import jax.numpy as jnp
+    from jax.experimental import checkify
+
+    from gea.utils.debug import checked
+
+    def bad(x):
+        return jnp.log(x)  # NaN for negative input
+
+    fn = checked(bad)
+    assert float(fn(jnp.asarray(1.0))) == 0.0
+    with pytest.raises(checkify.JaxRuntimeError, match="nan"):
+        fn(jnp.asarray(-1.0))
