@@ -140,24 +140,30 @@ def build_r_iterative_step(
     raw_w = [0.5 + 0.5 * i / max(1, n_links - 1) for i in range(n_links)]
     weights = tuple(w / sum(raw_w) for w in raw_w)
 
-    def unroll(params_g, extras_g, params_r, extras_r, z0, sn, train: bool):
+    def unroll(params_g, extras_g, params_r, extras_r, z0, sn):
         """Chain: z_t = z_{t-1} + R(img_{t-1}); returns stacked images
-        (T+1, B, H, W, 3), zs (T+1, B, code)."""
-        g_vars = {"params": params_g, **extras_g}
-        r_vars = {"params": params_r, **extras_r}
-
-        def g_render(z):
-            out = generator.apply(g_vars, z, spatial_noise=sn, train=False)
-            return out[0][0]  # (B, H, W, 3): single-stage generator
+        (T+1, B, H, W, 3), zs (T+1, B, code) and the updated mutable
+        collections (batch_stats when --norm batch; no-ops otherwise —
+        G and R are both being trained, so their statistics must track)."""
+        from gea.train.steps import _apply_model
 
         zs = [z0]
-        imgs = [g_render(z0)]
+        (imgs0, _), extras_g = _apply_model(
+            generator, params_g, extras_g, z0, train=True, spatial_noise=sn
+        )
+        imgs = [imgs0[0]]  # (B, H, W, 3): single-stage generator
         for _ in range(cfg.r_chain_length):
-            delta = reverter.apply(r_vars, imgs[-1], train=False)
+            delta, extras_r = _apply_model(
+                reverter, params_r, extras_r, imgs[-1], train=True
+            )
             z_next = zs[-1] + delta
             zs.append(z_next)
-            imgs.append(g_render(z_next))
-        return jnp.stack(imgs), jnp.stack(zs)
+            (img_n, _), extras_g = _apply_model(
+                generator, params_g, extras_g, z_next, train=True,
+                spatial_noise=sn,
+            )
+            imgs.append(img_n[0])
+        return jnp.stack(imgs), jnp.stack(zs), extras_g, extras_r
 
     def step(state: GANTrainState, real: jnp.ndarray):
         batch = real.shape[0]
@@ -174,29 +180,33 @@ def build_r_iterative_step(
         )
 
         # ---------------------------------------------- D step (detached)
-        fakes, _ = unroll(
+        from gea.train.steps import _apply_model
+
+        fakes, _, _, _ = unroll(
             state.params_g,
             state.extras_g,
             state.params_r,
             state.extras_r,
             z0,
             sn,
-            train=True,
         )
         fakes = lax.stop_gradient(fakes)
         flat_fakes = fakes.reshape(-1, *fakes.shape[2:])
 
         def d_loss_fn(params_d):
-            d_vars = {"params": params_d, **state.extras_d}
-            logits_real = discriminator.apply(d_vars, real, train=False)
-            logits_fake = discriminator.apply(d_vars, flat_fakes, train=False)
+            logits_real, new_extras_d = _apply_model(
+                discriminator, params_d, state.extras_d, real, train=True
+            )
+            logits_fake, new_extras_d = _apply_model(
+                discriminator, params_d, new_extras_d, flat_fakes, train=True
+            )
             logits_fake = logits_fake.reshape(n_links, batch)
             loss = losses.d_real_loss(logits_real) + losses.staged_loss(
                 logits_fake, weights, 0.0
             )
-            return loss, (logits_real, logits_fake)
+            return loss, (new_extras_d, logits_real, logits_fake)
 
-        (loss_d, (logits_real, _)), grads_d = jax.value_and_grad(
+        (loss_d, (extras_d, logits_real, _)), grads_d = jax.value_and_grad(
             d_loss_fn, has_aux=True
         )(state.params_d)
         grads_d = _maybe_pmean(grads_d, axis_name)
@@ -206,24 +216,24 @@ def build_r_iterative_step(
         # -------------------------------------- joint G+R step (vs new D)
         def gr_loss_fn(params_gr):
             params_g, params_r = params_gr
-            images, zs = unroll(
+            images, zs, new_extras_g, new_extras_r = unroll(
                 params_g,
                 state.extras_g,
                 params_r,
                 state.extras_r,
                 z0,
                 sn,
-                train=True,
             )
             flat = images.reshape(-1, *images.shape[2:])
-            d_vars = {"params": params_d, **state.extras_d}
-            logits = discriminator.apply(d_vars, flat, train=False)
+            logits, _ = _apply_model(
+                discriminator, params_d, extras_d, flat, train=True
+            )
             logits = logits.reshape(n_links, batch)
             adv = losses.staged_loss(logits, weights, 1.0)
             sim = losses.z_similarity_loss(zs[1:] - zs[:-1])
-            return adv + cfg.lambda_r * sim, (adv, sim)
+            return adv + cfg.lambda_r * sim, (adv, sim, new_extras_g, new_extras_r)
 
-        (loss_gr, (adv, sim)), grads_gr = jax.value_and_grad(
+        (loss_gr, (adv, sim, extras_g, extras_r)), grads_gr = jax.value_and_grad(
             gr_loss_fn, has_aux=True
         )((state.params_g, state.params_r))
         grads_g, grads_r = grads_gr
@@ -246,6 +256,9 @@ def build_r_iterative_step(
             params_g=params_g,
             params_d=params_d,
             params_r=params_r,
+            extras_g=extras_g,
+            extras_d=extras_d,
+            extras_r=extras_r,
             opt_g=opt_g,
             opt_d=opt_d,
             opt_r=opt_r,

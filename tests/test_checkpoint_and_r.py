@@ -148,3 +148,36 @@ def test_r_iterative_step():
             )
         )
         assert moved > 0, f"params_{name} did not update"
+
+
+def test_r_iterative_step_batch_norm_stats_update():
+    """With --norm batch, the jointly-trained G/R/D must all update their
+    batch statistics inside the chain unroll (they are being trained, not
+    frozen)."""
+    cfg = tiny_cfg(TrainRIterativeConfig, norm="batch", r_chain_length=1,
+                   r_hidden=16)
+    g = GeneratorLIS.from_config(cfg, r_iterations=0)
+    d = Discriminator.from_config(cfg)
+    reverter = Reverter.from_config(cfg)
+    tx = make_optimizer(cfg.lr, cfg.beta1, cfg.beta2)
+    state = create_glis_state(cfg, g, d, tx, tx, 0)
+    state = add_reverter(state, cfg, reverter, tx, 0)
+    assert state.extras_g and state.extras_d and state.extras_r
+    step = jax.jit(build_r_iterative_step(cfg, g, d, reverter, tx, tx, tx))
+    real = jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, (8, 16, 16, 3)).astype(np.float32)
+    )
+    s1, m = step(state, real)
+    assert np.isfinite(float(m["loss_d"]))
+    for name, old, new in [
+        ("g", state.extras_g, s1.extras_g),
+        ("d", state.extras_d, s1.extras_d),
+        ("r", state.extras_r, s1.extras_r),
+    ]:
+        moved = max(
+            float(jnp.max(jnp.abs(a - b)))
+            for a, b in zip(
+                jax.tree_util.tree_leaves(old), jax.tree_util.tree_leaves(new)
+            )
+        )
+        assert moved > 0, f"batch_stats_{name} did not update"
