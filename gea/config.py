@@ -190,9 +190,10 @@ class DataConfig(BaseConfig):
     data_workers: int = _flag(4, "host-side decode worker threads")
     data_backend: str = _flag(
         "auto",
-        "image decode backend: native C++ pool (JPEG), PIL threads, or "
-        "auto (native when available and the folder is all-JPEG)",
-        choices=("auto", "native", "pil"),
+        "image decode backend: native C++ pool (JPEG), PIL threads, grain "
+        "(standard MapDataset pipeline), or auto (native when available "
+        "and the folder is all-JPEG)",
+        choices=("auto", "native", "pil", "grain"),
     )
     data_cache: bool = _flag(
         False,

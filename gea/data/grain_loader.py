@@ -1,0 +1,50 @@
+"""Optional grain-based host loader (SURVEY.md §7 layer 5 lists grain as
+the standard host-loader option next to the custom pipelines).
+
+Uses grain.MapDataset over the file list with the same decode contract as
+the other backends (uint8 square of decode_size), shuffled per epoch,
+batched, with worker prefetch. Selected with ``--data_backend grain``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List
+
+import numpy as np
+
+
+class GrainFolderLoader:
+    def __init__(
+        self,
+        paths: List[str],
+        batch_size: int,
+        decode_size: int,
+        workers: int = 4,
+        seed: int = 0,
+    ):
+        import grain
+
+        from gea.data.pipeline import _decode
+
+        self.batch_size = batch_size
+        self.decode_size = decode_size
+        self._paths = list(paths)
+
+        ds = (
+            grain.MapDataset.source(self._paths)
+            .shuffle(seed=seed)
+            .repeat(None)  # endless epochs, reshuffled per epoch
+            .map(lambda p: _decode(p, decode_size))
+            .batch(batch_size, drop_remainder=True)
+        )
+        it = ds.to_iter_dataset(
+            grain.ReadOptions(num_threads=max(1, workers), prefetch_buffer_size=4)
+        )
+        self._iter_dataset = it
+
+    def __len__(self) -> int:
+        return len(self._paths)
+
+    def batches(self) -> Iterator[np.ndarray]:
+        for batch in self._iter_dataset:
+            yield np.asarray(batch)

@@ -146,6 +146,16 @@ def make_dataset(cfg, seed: int = 0):
                 seed=seed,
             )
         backend = getattr(cfg, "data_backend", "auto")
+        if backend == "grain":
+            from gea.data.grain_loader import GrainFolderLoader
+
+            return GrainFolderLoader(
+                list_images(cfg.dataroot),
+                cfg.batch_size,
+                decode_size,
+                workers=cfg.data_workers,
+                seed=seed,
+            )
         if backend in ("auto", "native"):
             loader = _try_native_loader(cfg, decode_size, seed)
             if loader is not None:

@@ -90,3 +90,21 @@ def test_make_dataset_selects_native(jpeg_dir, tmp_path):
     b = next(ds.batches())
     assert b.shape == (4, 32, 32, 3)
     ds.close()
+
+
+def test_make_dataset_selects_grain(jpeg_dir):
+    from gea.config import TrainGLISConfig
+    from gea.data.pipeline import make_dataset
+
+    cfg = TrainGLISConfig(
+        dataset="folder",
+        dataroot=os.path.dirname(jpeg_dir[0]),
+        batch_size=4,
+        crop_size=32,
+        image_size=32,
+        data_backend="grain",
+    )
+    ds = make_dataset(cfg, seed=0)
+    assert type(ds).__name__ == "GrainFolderLoader"
+    b = next(ds.batches())
+    assert b.shape == (4, 32, 32, 3) and b.dtype == np.uint8
