@@ -148,3 +148,23 @@ def test_dp_grad_reduction_equivalence():
     flat_b = jax.tree_util.tree_leaves(g_mean)
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_donated_step_matches_undonated():
+    """Buffer donation (jit donate_argnums=0) must not change numerics —
+    the donate-buffer correctness check from SURVEY.md §5."""
+    cfg = tiny_cfg()
+    state_a, step = build(cfg)
+    state_b, _ = build(cfg)
+    real = fake_real_batch(cfg, 8)
+    plain = jax.jit(step)
+    donated = jax.jit(step, donate_argnums=0)
+    for _ in range(3):
+        state_a, m_a = plain(state_a, real)
+        state_b, m_b = donated(state_b, real)
+    np.testing.assert_allclose(
+        float(m_a["loss_d"]), float(m_b["loss_d"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(m_a["loss_g"]), float(m_b["loss_g"]), rtol=1e-6
+    )
