@@ -27,15 +27,28 @@ def device_prefetch(
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     stop = threading.Event()
 
+    def _put(item) -> bool:
+        """Bounded put that gives up when the consumer is gone — without
+        this, an abandoned iterator leaks a worker blocked on a full
+        queue for the life of the process."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def worker():
         try:
             for batch in host_iter:
                 if stop.is_set():
                     return
                 arr = jax.device_put(batch, sharding)
-                q.put(arr)
+                if not _put(arr):
+                    return
         finally:
-            q.put(None)
+            _put(None)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()

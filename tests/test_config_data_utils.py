@@ -153,3 +153,35 @@ def test_throughput_meter():
     assert s["images_per_sec_per_chip"] == pytest.approx(
         s["images_per_sec"] / 2
     )
+
+
+def test_device_prefetch_abandoned_iterator_thread_exits():
+    """Abandoning the prefetch iterator must release its worker thread."""
+    import threading
+    import time
+
+    from gea.data.prefetch import device_prefetch
+
+    def slow_batches():
+        while True:
+            yield np.zeros((2, 4, 4, 3), np.float32)
+
+    before = threading.active_count()
+    it = device_prefetch(slow_batches(), depth=1)
+    next(it)
+    it.close()  # triggers the generator's finally -> stop event
+    deadline = time.time() + 5
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.1)
+    assert threading.active_count() <= before
+
+
+def test_device_prefetch_finite_stream():
+    from gea.data.prefetch import device_prefetch
+
+    def three():
+        for _ in range(3):
+            yield np.ones((2, 4, 4, 3), np.float32)
+
+    out = list(device_prefetch(three(), depth=2))
+    assert len(out) == 3
