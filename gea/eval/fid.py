@@ -153,14 +153,21 @@ def _inception_extractor(image_size: int) -> FeatureExtractor:
     return extract
 
 
+_inception_unavailable = False
+
+
 def make_feature_extractor(
     image_size: int, extractor: str = "auto"
 ) -> Tuple[FeatureExtractor, str]:
     """Returns (fn, label). label is embedded in every report."""
-    if extractor in ("auto", "inception"):
+    global _inception_unavailable
+    if extractor == "inception" or (
+        extractor == "auto" and not _inception_unavailable
+    ):
         try:
             return _inception_extractor(image_size), "FID(inception-v3)"
         except RuntimeError:
+            _inception_unavailable = True  # don't re-attempt downloads
             if extractor == "inception":
                 raise
     return (
