@@ -18,7 +18,7 @@ import numpy as np
 from gea.config import SampleConfig, TrainGLISConfig
 from gea.models import GeneratorLIS
 from gea.utils.checkpoint import restore_checkpoint
-from gea.utils.grids import save_stage_grids
+from gea.utils.grids import save_stage_gif, save_stage_grids
 
 
 def load_generator(
@@ -93,6 +93,12 @@ def run(cfg: SampleConfig):
         )
         images = np.asarray(jax.device_get(render(z, sn)))
         save_stage_grids(images, out_dir, batch_idx, rows=cfg.grid_rows)
+        if cfg.save_gif:
+            save_stage_gif(
+                images,
+                os.path.join(out_dir, f"progression_{batch_idx:08d}.gif"),
+                rows=cfg.grid_rows,
+            )
         done += n
         batch_idx += 1
     print(f"[gea] wrote {batch_idx} per-stage grid sets to {out_dir}")

@@ -281,6 +281,11 @@ class SampleConfig(ModelConfig, BaseConfig):
     oversample: int = _flag(
         4, "candidate multiplier for --d_filter resampling"
     )
+    save_gif: bool = _flag(
+        False,
+        "also write an animated GIF cycling through the LIS stages "
+        "(the reference README's progression GIFs)",
+    )
 
 
 @dataclass(frozen=True)

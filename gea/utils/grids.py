@@ -47,6 +47,32 @@ def save_image_grid(
     Image.fromarray(tile_grid(arr, rows)).save(path)
 
 
+def save_stage_gif(
+    stage_images: np.ndarray,
+    path: str,
+    rows: int = 8,
+    duration_ms: int = 600,
+) -> None:
+    """Animated GIF cycling through the LIS stages for a fixed noise batch
+    (the reference README's per-stage progression GIFs, C14): frame s is
+    the grid of stage-s renders, so the error-avoidance correction plays
+    as an animation."""
+    from PIL import Image
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    frames = [
+        Image.fromarray(tile_grid(to_uint8(stage_images[s]), rows))
+        for s in range(stage_images.shape[0])
+    ]
+    frames[0].save(
+        path,
+        save_all=True,
+        append_images=frames[1:],
+        duration=duration_ms,
+        loop=0,
+    )
+
+
 def save_stage_grids(
     stage_images: np.ndarray, out_dir: str, step: int, rows: int = 8
 ) -> None:

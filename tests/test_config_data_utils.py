@@ -185,3 +185,17 @@ def test_device_prefetch_finite_stream():
 
     out = list(device_prefetch(three(), depth=2))
     assert len(out) == 3
+
+
+def test_save_stage_gif(tmp_path):
+    from gea.utils.grids import save_stage_gif
+
+    imgs = np.random.default_rng(0).uniform(-1, 1, (3, 4, 8, 8, 3)).astype(
+        np.float32
+    )
+    p = str(tmp_path / "prog.gif")
+    save_stage_gif(imgs, p, rows=2)
+    from PIL import Image
+
+    with Image.open(p) as im:
+        assert im.is_animated and im.n_frames == 3
