@@ -115,3 +115,16 @@ def test_generator_batch_norm_variant():
         variables, z, mutable=["batch_stats"]
     )
     assert images.shape == (2, 4, 32, 32, 3)
+
+
+@pytest.mark.parametrize("bad_size", [17, 9, 7])
+def test_generator_plan_rejects_unsupported(bad_size):
+    with pytest.raises(ValueError, match="unsupported image_size"):
+        generator_plan(bad_size)
+
+
+def test_generator_requires_spatial_noise_when_configured():
+    g = small_gen(spatial_code=2, r_iterations=0)
+    z = jnp.ones((2, 32))
+    with pytest.raises(ValueError, match="spatial_noise"):
+        g.init(jax.random.PRNGKey(0), z)
