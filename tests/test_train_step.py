@@ -168,3 +168,17 @@ def test_donated_step_matches_undonated():
     np.testing.assert_allclose(
         float(m_a["loss_g"]), float(m_b["loss_g"]), rtol=1e-6
     )
+
+
+def test_bfloat16_step_runs_on_cpu():
+    """The bench/flagship dtype path (bf16 compute, f32 params) must stay
+    runnable everywhere — guards against dtype mismatches in the custom
+    VJPs and the fused D pass."""
+    cfg = tiny_cfg(dtype="bfloat16")
+    state, step = build(cfg)
+    new_state, metrics = jax.jit(step)(state, fake_real_batch(cfg, 8))
+    for k in ("loss_d", "loss_g"):
+        assert np.isfinite(float(metrics[k])), k
+    # params stay f32
+    for leaf in jax.tree_util.tree_leaves(new_state.params_g):
+        assert leaf.dtype == jnp.float32
