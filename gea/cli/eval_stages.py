@@ -33,10 +33,14 @@ def main(argv: Optional[list] = None):
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="", help="optional JSON output path")
+    p.add_argument(
+        "--step", type=int, default=0, help="checkpoint step (0 = latest)"
+    )
     a = p.parse_args(argv)
 
-    generator, g_vars, cfg = load_generator(a.load_path)
-    discriminator, d_vars = load_discriminator(a.load_path)
+    step = a.step if a.step > 0 else None
+    generator, g_vars, cfg = load_generator(a.load_path, step=step)
+    discriminator, d_vars = load_discriminator(a.load_path, step=step)
     n_stages = cfg.r_iterations + 1
 
     @jax.jit

@@ -281,6 +281,11 @@ class SampleConfig(ModelConfig, BaseConfig):
     oversample: int = _flag(
         4, "candidate multiplier for --d_filter resampling"
     )
+    step: int = _flag(
+        0,
+        "checkpoint step to load (0 = latest); GAN quality is non-"
+        "monotone, use eval_stages to pick the best retained snapshot",
+    )
     save_gif: bool = _flag(
         False,
         "also write an animated GIF cycling through the LIS stages "
