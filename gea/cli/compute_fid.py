@@ -70,9 +70,14 @@ def main(argv: Optional[list] = None):
         "--extractor", default="auto", choices=("auto", "inception", "random")
     )
     p.add_argument("--out", default="", help="optional JSON output path")
+    p.add_argument(
+        "--step", type=int, default=0, help="checkpoint step (0 = latest)"
+    )
     a = p.parse_args(argv)
 
-    generator, variables, train_cfg = load_generator(a.load_path)
+    generator, variables, train_cfg = load_generator(
+        a.load_path, step=a.step or None
+    )
     data_cfg = train_cfg.replace(
         dataset=a.dataset,
         dataroot=a.dataroot or train_cfg.dataroot,

@@ -38,9 +38,16 @@ def main(argv: Optional[list] = None):
     )
     a = p.parse_args(argv)
 
+    from gea.utils.checkpoint import restore_checkpoint
+
     step = a.step if a.step > 0 else None
-    generator, g_vars, cfg = load_generator(a.load_path, step=step)
-    discriminator, d_vars = load_discriminator(a.load_path, step=step)
+    restored = restore_checkpoint(a.load_path, target=None, step=step)
+    generator, g_vars, cfg = load_generator(
+        a.load_path, step=step, restored=restored
+    )
+    discriminator, d_vars = load_discriminator(
+        a.load_path, step=step, restored=restored
+    )
     n_stages = cfg.r_iterations + 1
 
     @jax.jit

@@ -22,7 +22,7 @@ from gea.utils.grids import save_stage_gif, save_stage_grids
 
 
 def load_generator(
-    load_path: str, step: Optional[int] = None
+    load_path: str, step: Optional[int] = None, restored: Optional[dict] = None
 ) -> Tuple[GeneratorLIS, Dict[str, Any], TrainGLISConfig]:
     """Rebuild the generator from a run dir's config.json + a checkpoint
     (latest by default, or an explicit --step — GAN quality is
@@ -31,21 +31,25 @@ def load_generator(
     relies on."""
     train_cfg = TrainGLISConfig.load(os.path.join(load_path, "config.json"))
     generator = GeneratorLIS.from_config(train_cfg)
-    restored = restore_checkpoint(load_path, target=None, step=step)
+    if restored is None:
+        restored = restore_checkpoint(load_path, target=None, step=step)
     params_g = restored["params_g"]
     extras_g = restored.get("extras_g") or {}
     variables = {"params": params_g, **extras_g}
     return generator, variables, train_cfg
 
 
-def load_discriminator(load_path: str, step: Optional[int] = None):
+def load_discriminator(
+    load_path: str, step: Optional[int] = None, restored: Optional[dict] = None
+):
     """Rebuild the run's discriminator from the same checkpoint — used by
     the error-avoidance resampling filter."""
     from gea.models import Discriminator
 
     train_cfg = TrainGLISConfig.load(os.path.join(load_path, "config.json"))
     discriminator = Discriminator.from_config(train_cfg)
-    restored = restore_checkpoint(load_path, target=None, step=step)
+    if restored is None:
+        restored = restore_checkpoint(load_path, target=None, step=step)
     variables = {
         "params": restored["params_d"],
         **(restored.get("extras_d") or {}),
@@ -55,13 +59,18 @@ def load_discriminator(load_path: str, step: Optional[int] = None):
 
 def run(cfg: SampleConfig):
     step = cfg.step if cfg.step > 0 else None
-    generator, variables, train_cfg = load_generator(cfg.load_path, step=step)
+    restored = restore_checkpoint(cfg.load_path, target=None, step=step)
+    generator, variables, train_cfg = load_generator(
+        cfg.load_path, step=step, restored=restored
+    )
     out_dir = cfg.save_path_samples or os.path.join(cfg.load_path, "samples_cli")
     os.makedirs(out_dir, exist_ok=True)
 
     oversample = max(1, cfg.oversample) if cfg.d_filter else 1
     if cfg.d_filter:
-        discriminator, d_vars = load_discriminator(cfg.load_path, step=step)
+        discriminator, d_vars = load_discriminator(
+            cfg.load_path, step=step, restored=restored
+        )
 
         @jax.jit
         def render(z, sn):

@@ -30,27 +30,23 @@ def run(
     seed: int = 0,
     grid_rows: int = 8,
     chain_length: Optional[int] = None,
+    step: int = 0,
 ):
     cfg = TrainRIterativeConfig.load(os.path.join(load_path, "config.json"))
     generator = GeneratorLIS.from_config(cfg, r_iterations=0)
     reverter = Reverter.from_config(cfg)
-    restored = restore_checkpoint(load_path, target=None)
+    restored = restore_checkpoint(load_path, target=None, step=step or None)
     g_vars = {"params": restored["params_g"], **(restored.get("extras_g") or {})}
     r_vars = {"params": restored["params_r"], **(restored.get("extras_r") or {})}
     links = chain_length if chain_length is not None else cfg.r_chain_length
     out_dir = save_path_samples or os.path.join(load_path, "samples_cli")
     os.makedirs(out_dir, exist_ok=True)
 
+    from gea.models.reverter import iterative_chain
+
     @jax.jit
     def chain(z, sn):
-        imgs = [generator.apply(g_vars, z, spatial_noise=sn, train=False)[0][0]]
-        for _ in range(links):
-            delta = reverter.apply(r_vars, imgs[-1], train=False)
-            z = z + delta
-            imgs.append(
-                generator.apply(g_vars, z, spatial_noise=sn, train=False)[0][0]
-            )
-        return jnp.stack(imgs)
+        return iterative_chain(generator, reverter, g_vars, r_vars, z, sn, links)
 
     rng = jax.random.PRNGKey(seed)
     done, batch_idx = 0, 0
@@ -80,6 +76,10 @@ def main(argv: Optional[list] = None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--grid_rows", type=int, default=8)
     p.add_argument("--chain_length", type=int, default=None)
+    p.add_argument(
+        "--step", type=int, default=0,
+        help="checkpoint step to load (0 = latest)",
+    )
     a = p.parse_args(argv)
     return run(
         a.load_path,
@@ -89,6 +89,7 @@ def main(argv: Optional[list] = None):
         a.seed,
         a.grid_rows,
         a.chain_length,
+        a.step,
     )
 
 

@@ -24,10 +24,10 @@ from gea.utils.checkpoint import restore_checkpoint
 from gea.utils.grids import save_stage_grids
 
 
-def load_reverter(load_path: str):
+def load_reverter(load_path: str, step=None):
     cfg = TrainRSeparateConfig.load(os.path.join(load_path, "config.json"))
     reverter = Reverter.from_config(cfg)
-    restored = restore_checkpoint(load_path, target=None)
+    restored = restore_checkpoint(load_path, target=None, step=step)
     variables = {"params": restored["params_r"], **(restored.get("extras_r") or {})}
     return reverter, variables, cfg
 
@@ -42,8 +42,9 @@ def run(
     correction_steps: int = 2,
     correction_strength: float = 0.3,
     shell_renorm: bool = True,
+    step: int = 0,
 ):
-    reverter, r_vars, r_cfg = load_reverter(load_path)
+    reverter, r_vars, r_cfg = load_reverter(load_path, step=step or None)
     generator, g_vars, _g_cfg = load_generator(r_cfg.g_path)
     out_dir = save_path_samples or os.path.join(load_path, "samples_cli")
     os.makedirs(out_dir, exist_ok=True)
@@ -110,6 +111,10 @@ def main(argv: Optional[list] = None):
         "constraint applied at inference); 1.0 = pure R output",
     )
     p.add_argument(
+        "--step", type=int, default=0,
+        help="R checkpoint step to load (0 = latest)",
+    )
+    p.add_argument(
         "--shell_renorm",
         type=lambda v: v.lower() in ("1", "true", "yes"),
         default=True,
@@ -126,6 +131,7 @@ def main(argv: Optional[list] = None):
         a.correction_steps,
         a.correction_strength,
         a.shell_renorm,
+        a.step,
     )
 
 

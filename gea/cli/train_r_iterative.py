@@ -52,19 +52,15 @@ def make_vis_fn(cfg, generator, reverter, run_dir: str):
     sn_shape = generator.spatial_noise_shape(n_vis)
     sn = jax.random.normal(sn_rng, sn_shape, jnp.float32) if sn_shape else None
 
+    from gea.models.reverter import iterative_chain
+
     @jax.jit
     def render_chain(params_g, extras_g, params_r, extras_r):
         g_vars = {"params": params_g, **extras_g}
         r_vars = {"params": params_r, **extras_r}
-        z = z0
-        imgs = [generator.apply(g_vars, z, spatial_noise=sn, train=False)[0][0]]
-        for _ in range(cfg.r_chain_length):
-            delta = reverter.apply(r_vars, imgs[-1], train=False)
-            z = z + delta
-            imgs.append(
-                generator.apply(g_vars, z, spatial_noise=sn, train=False)[0][0]
-            )
-        return jnp.stack(imgs)
+        return iterative_chain(
+            generator, reverter, g_vars, r_vars, z0, sn, cfg.r_chain_length
+        )
 
     def vis(state, step: int) -> None:
         imgs = np.asarray(

@@ -124,6 +124,10 @@ def run(cfg: TrainRSeparateConfig):
     run_dir = prepare_run(cfg)
     mesh = resolve_mesh(cfg)
     num_chips = mesh.devices.size if mesh is not None else 1
+    if cfg.batch_size % max(1, num_chips) != 0:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} must divide over {num_chips} devices"
+        )
 
     reverter = Reverter.from_config(cfg)
     tx_r = make_optimizer(cfg.lr, cfg.beta1, cfg.beta2)

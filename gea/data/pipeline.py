@@ -60,10 +60,9 @@ def _decode(path: str, decode_size: int) -> np.ndarray:
 
 
 class FolderDataset:
-    """Endless shuffled batch iterator over an image folder.
-
-    Yields (batch, epoch) with batch uint8 (B, decode_size, decode_size, 3).
-    """
+    """Endless shuffled batch iterator over an image folder; yields uint8
+    batches of shape (batch_size, decode_size, decode_size, 3), dropping
+    each epoch's ragged remainder."""
 
     def __init__(
         self,
@@ -72,7 +71,6 @@ class FolderDataset:
         decode_size: int,
         workers: int = 4,
         seed: int = 0,
-        drop_last: bool = True,
     ):
         self.paths = list_images(root)
         self.batch_size = batch_size

@@ -39,6 +39,8 @@ def device_prefetch(
                 continue
         return False
 
+    failure: list = []
+
     def worker():
         try:
             for batch in host_iter:
@@ -47,6 +49,8 @@ def device_prefetch(
                 arr = jax.device_put(batch, sharding)
                 if not _put(arr):
                     return
+        except BaseException as e:  # propagate to the consumer, don't
+            failure.append(e)  # convert data errors into end-of-stream
         finally:
             _put(None)
 
@@ -56,6 +60,10 @@ def device_prefetch(
         while True:
             item = q.get()
             if item is None:
+                if failure:
+                    raise RuntimeError(
+                        "input pipeline worker failed"
+                    ) from failure[0]
                 return
             yield item
     finally:

@@ -82,3 +82,21 @@ class Reverter(nn.Module):
 def apply_correction(z: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
     """One reverser step: z' = z + R(G(z))."""
     return z + delta
+
+
+def iterative_chain(
+    generator, reverter, g_vars, r_vars, z0, sn, links: int
+) -> jnp.ndarray:
+    """Unrolled inference chain z_t = z_{t-1} + R(G(z_{t-1})): returns the
+    stacked per-link images (links+1, B, H, W, 3). Shared by the
+    R-iterative sampler and the trainer's vis function so the chain
+    semantics cannot drift between them."""
+    z = z0
+    imgs = [generator.apply(g_vars, z, spatial_noise=sn, train=False)[0][0]]
+    for _ in range(links):
+        delta = reverter.apply(r_vars, imgs[-1], train=False)
+        z = z + delta
+        imgs.append(
+            generator.apply(g_vars, z, spatial_noise=sn, train=False)[0][0]
+        )
+    return jnp.stack(imgs)

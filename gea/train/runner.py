@@ -124,10 +124,17 @@ def maybe_resume(cfg, state):
     """Reference resume contract: --load_path restores an earlier run; an
     existing checkpoint in --save_path auto-resumes (elastic-lite,
     SURVEY.md §5 'Failure detection')."""
+    if cfg.load_path and latest_step(cfg.load_path) is None:
+        # An explicit resume path with nothing in it is a user error —
+        # fail fast instead of silently burning the run budget on a
+        # from-scratch model.
+        raise FileNotFoundError(
+            f"--load_path {cfg.load_path!r} contains no checkpoints"
+        )
     source = cfg.load_path or (
         cfg.save_path if latest_step(cfg.save_path) is not None else ""
     )
-    if not source or latest_step(source) is None:
+    if not source:
         return state, 0
     restored = restore_checkpoint(source, state)
     start = int(np.asarray(restored.step))
@@ -163,6 +170,7 @@ class TrainLoop:
         self.plotter = LossPlotter()
         self.meter = ThroughputMeter(cfg.batch_size)
         self._data_rng = jax.random.PRNGKey(cfg.seed ^ 0x5EED)
+        self._profiling = False
         self._tb = None
         if getattr(cfg, "tensorboard", False):
             try:
@@ -186,8 +194,18 @@ class TrainLoop:
                 tf.summary.scalar(f"perf/{k}", v, step=step)
 
     def run(self, start_step: int) -> Any:
+        try:
+            return self._run(start_step)
+        finally:
+            if self._profiling:
+                # Run ended (or aborted) inside the 5-step profile window —
+                # close the trace so the profile directory is valid.
+                jax.profiler.stop_trace()
+                self._profiling = False
+
+    def _run(self, start_step: int) -> Any:
         cfg = self.cfg
-        profiling = False
+        self._profiling = False
         for it in range(start_step, cfg.niter):
             raw = next(self.data_iter)
             self._data_rng, prng = jax.random.split(self._data_rng)
@@ -197,11 +215,11 @@ class TrainLoop:
             profile_dir = getattr(cfg, "profile_dir", "")
             if profile_dir and it == start_step + 10:
                 jax.profiler.start_trace(profile_dir)
-                profiling = True
-            if profiling and it == start_step + 15:
+                self._profiling = True
+            if self._profiling and it == start_step + 15:
                 jax.block_until_ready(self.state.params_g)
                 jax.profiler.stop_trace()
-                profiling = False
+                self._profiling = False
 
             step_now = it + 1
             if step_now % cfg.log_interval == 0 or step_now == 1:

@@ -211,6 +211,12 @@ def build_glis_train_step(
             "d_fake_final": jnp.mean(jax.nn.sigmoid(logits_fake_d[-1])),
         }
         metrics = _maybe_pmean(metrics, axis_name)
+        # Keep running statistics (batch_stats) identical across replicas:
+        # each device computed stats from its own shard, so average them
+        # before they enter the replicated state (otherwise checkpoints
+        # capture only device 0's statistics).
+        extras_g = _maybe_pmean(extras_g, axis_name)
+        extras_d = _maybe_pmean(extras_d, axis_name)
 
         new_state = state.replace(
             step=state.step + 1,

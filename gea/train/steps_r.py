@@ -112,6 +112,7 @@ def build_r_separate_step(
             ),
         }
         metrics = _maybe_pmean(metrics, axis_name)
+        extras_r = _maybe_pmean(extras_r, axis_name)
         new_state = state.replace(
             step=state.step + 1,
             params_r=params_r,
@@ -251,6 +252,9 @@ def build_r_iterative_step(
             "d_real": jnp.mean(jax.nn.sigmoid(logits_real)),
         }
         metrics = _maybe_pmean(metrics, axis_name)
+        extras_g = _maybe_pmean(extras_g, axis_name)
+        extras_d = _maybe_pmean(extras_d, axis_name)
+        extras_r = _maybe_pmean(extras_r, axis_name)
         new_state = state.replace(
             step=state.step + 1,
             params_g=params_g,
