@@ -8,6 +8,11 @@ import os
 # (JAX_PLATFORMS=axon): tests need the 8-virtual-device CPU mesh, and must
 # not hold the single real TPU chip. Override with GEA_TEST_PLATFORM=tpu to
 # run the suite on hardware.
+# Preserve the ambient (pre-conftest) env so driver-simulation tests can
+# reproduce the environment __graft_entry__ actually runs under.
+AMBIENT_JAX_PLATFORMS = os.environ.get("JAX_PLATFORMS")
+AMBIENT_XLA_FLAGS = os.environ.get("XLA_FLAGS")
+
 os.environ["JAX_PLATFORMS"] = os.environ.get("GEA_TEST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
