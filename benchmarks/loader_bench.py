@@ -62,6 +62,7 @@ def main():
     ap.add_argument("--dataroot", default="")
     ap.add_argument("--batch_size", type=int, default=128)
     ap.add_argument("--decode_size", type=int, default=96)
+    ap.add_argument("--crop_size", type=int, default=0)
     ap.add_argument("--workers", type=int, default=8)
     ap.add_argument("--batches", type=int, default=30)
     a = ap.parse_args()
@@ -77,7 +78,8 @@ def main():
 
         if native_available():
             ld = NativeFolderLoader(
-                paths, a.batch_size, a.decode_size, workers=a.workers, seed=0
+                paths, a.batch_size, a.crop_size, a.decode_size,
+                workers=a.workers, seed=0,
             )
             results["native_cpp_pool"] = round(
                 bench(ld.batches(), a.batches, a.batch_size), 1
@@ -86,14 +88,16 @@ def main():
     except Exception as e:
         results["native_cpp_pool"] = f"unavailable: {e}"
 
-    pil = FolderDataset(root, a.batch_size, a.decode_size, workers=a.workers)
+    pil = FolderDataset(
+        root, a.batch_size, a.crop_size, a.decode_size, workers=a.workers
+    )
     results["pil_threads"] = round(
         bench(pil.batches(), a.batches, a.batch_size), 1
     )
 
     t0 = time.perf_counter()
     cache = CachedFolderDataset(
-        root, a.batch_size, a.decode_size, workers=a.workers
+        root, a.batch_size, a.crop_size, a.decode_size, workers=a.workers
     )
     results["ram_cache_build_sec"] = round(time.perf_counter() - t0, 2)
     results["ram_cache_serve"] = round(

@@ -22,7 +22,7 @@ import numpy as np
 
 from gea.cli.sample import load_generator
 from gea.data.ondevice import preprocess_batch
-from gea.data.pipeline import make_dataset
+from gea.data.pipeline import device_crop_size, make_dataset
 from gea.eval.fid import compute_fid
 
 
@@ -51,7 +51,7 @@ def real_batch_iter(cfg, seed: int):
         batch = preprocess_batch(
             jnp.asarray(raw),
             prng,
-            crop_size=cfg.crop_size,
+            crop_size=device_crop_size(cfg),
             image_size=cfg.image_size,
             augment_flip=False,
         )

@@ -30,9 +30,15 @@ def slerp(z_a: jnp.ndarray, z_b: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     omega = jnp.arccos(jnp.clip(jnp.sum(a * b, axis=-1, keepdims=True), -1, 1))
     so = jnp.sin(omega)
     t = t[..., None]
-    return (
-        jnp.sin((1.0 - t) * omega) / so * z_a + jnp.sin(t * omega) / so * z_b
+    # Nearly-parallel pairs (omega -> 0) make sin(omega) -> 0: fall back to
+    # lerp there instead of dividing by ~0 and emitting NaN frames.
+    safe_so = jnp.where(so < 1e-6, 1.0, so)
+    spherical = (
+        jnp.sin((1.0 - t) * omega) / safe_so * z_a
+        + jnp.sin(t * omega) / safe_so * z_b
     )
+    linear = (1.0 - t) * z_a + t * z_b
+    return jnp.where(so < 1e-6, linear, spherical)
 
 
 def run(cfg: SampleInterpolationsConfig):

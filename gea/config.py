@@ -27,7 +27,7 @@ from typing import Any, Optional, Tuple, Type, TypeVar
 T = TypeVar("T", bound="BaseConfig")
 
 NORM_CHOICES = ("weight", "batch", "none")
-DATASET_CHOICES = ("folder", "synthetic", "cifar10")
+DATASET_CHOICES = ("folder", "lsun", "synthetic", "cifar10")
 
 
 def _flag(default: Any, help: str, **kw: Any) -> Any:  # noqa: A002
@@ -185,6 +185,12 @@ class DataConfig(BaseConfig):
 
     dataset: str = _flag("folder", "dataset kind", choices=DATASET_CHOICES)
     dataroot: str = _flag("", "path to the image folder (CelebA dump)")
+    lsun_classes: str = _flag(
+        "bedroom",
+        "comma-separated LSUN class names (dataset=lsun): dataroot must "
+        "hold <class>_train_lmdb dirs (exported to image folders via "
+        "gea.data.lsun) or plain <class>/ image subfolders",
+    )
     crop_size: int = _flag(160, "center-crop size applied before resize")
     batch_size: int = _flag(64, "global batch size (split across the mesh)")
     data_workers: int = _flag(4, "host-side decode worker threads")

@@ -14,10 +14,13 @@ import numpy as np
 
 
 class GrainFolderLoader:
+    emits_cropped = True
+
     def __init__(
         self,
         paths: List[str],
         batch_size: int,
+        crop_size: int,
         decode_size: int,
         workers: int = 4,
         seed: int = 0,
@@ -27,6 +30,7 @@ class GrainFolderLoader:
         from gea.data.pipeline import _decode
 
         self.batch_size = batch_size
+        self.crop_size = crop_size
         self.decode_size = decode_size
         self._paths = list(paths)
 
@@ -34,7 +38,7 @@ class GrainFolderLoader:
             grain.MapDataset.source(self._paths)
             .shuffle(seed=seed)
             .repeat(None)  # endless epochs, reshuffled per epoch
-            .map(lambda p: _decode(p, decode_size))
+            .map(lambda p: _decode(p, crop_size, decode_size))
             .batch(batch_size, drop_remainder=True)
         )
         it = ds.to_iter_dataset(

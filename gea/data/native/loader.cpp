@@ -3,9 +3,12 @@
 // leans on native code, via torch's C++ DataLoader machinery; here it is
 // a standalone C++ library bound over ctypes).
 //
-// Pipeline per image: libjpeg decode (with DCT-domain 1/2^k prescaling to
-// near the target size), bilinear resize of the short side to out_size,
-// center crop to an out_size x out_size RGB square. A worker thread pool
+// Pipeline per image: libjpeg decode (with DCT-domain 1/2^k prescaling
+// capped so the crop region keeps >= out_size pixels), center crop of
+// crop_size pixels AT NATIVE RESOLUTION (the reference's
+// CenterCrop(crop_size) -> Resize order — field of view is exactly
+// crop_size source pixels), bilinear box-resize of the crop to an
+// out_size x out_size RGB square. A worker thread pool
 // fills a ring of pre-allocated batch buffers (double buffering, depth
 // GEA_RING) so the Python side always finds a ready batch: decode
 // overlaps both host->device transfer and device compute.
@@ -45,10 +48,14 @@ void jpeg_error_exit(j_common_ptr cinfo) {
   longjmp(err->setjmp_buffer, 1);
 }
 
-// Decode a JPEG file to RGB, prescaled by libjpeg so the short side is
-// >= target but within 2x of it. Returns false on any decode error.
-bool decode_jpeg(const char* path, int target, std::vector<uint8_t>& pixels,
-                 int& w, int& h) {
+// Decode a JPEG file to RGB. DCT-domain prescale shrinks the decode only
+// while the centered crop region (crop_size native px, or the full short
+// side if smaller) still spans >= out_size decoded pixels, so the final
+// out_size square loses no detail. Returns native dims in (w0, h0) and
+// decoded dims in (w, h); false on any decode error.
+bool decode_jpeg(const char* path, int crop_size, int out_size,
+                 std::vector<uint8_t>& pixels, int& w0, int& h0, int& w,
+                 int& h) {
   FILE* f = fopen(path, "rb");
   if (!f) return false;
   jpeg_decompress_struct cinfo;
@@ -64,13 +71,14 @@ bool decode_jpeg(const char* path, int target, std::vector<uint8_t>& pixels,
   jpeg_stdio_src(&cinfo, f);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
-  // DCT-domain downscale: pick the largest denominator that keeps the
-  // short side >= target — decodes up to 64x fewer pixels than full-res.
-  int short_side = cinfo.image_width < cinfo.image_height
-                       ? cinfo.image_width
-                       : cinfo.image_height;
+  w0 = cinfo.image_width;
+  h0 = cinfo.image_height;
+  // DCT-domain downscale: largest denominator that keeps the crop region
+  // >= out_size decoded pixels — decodes up to 64x fewer pixels.
+  int short_side = w0 < h0 ? w0 : h0;
+  int cs = crop_size > 0 && crop_size < short_side ? crop_size : short_side;
   int denom = 1;
-  while (denom < 8 && short_side / (denom * 2) >= target) denom *= 2;
+  while (denom < 8 && cs / (denom * 2) >= out_size) denom *= 2;
   cinfo.scale_num = 1;
   cinfo.scale_denom = denom;
   jpeg_start_decompress(&cinfo);
@@ -87,19 +95,20 @@ bool decode_jpeg(const char* path, int target, std::vector<uint8_t>& pixels,
   return true;
 }
 
-// Bilinear resize (RGB u8) from (w, h) to (nw, nh).
-void resize_bilinear(const uint8_t* src, int w, int h, uint8_t* dst, int nw,
-                     int nh) {
-  const float sx = static_cast<float>(w) / nw;
-  const float sy = static_cast<float>(h) / nh;
+// Bilinear resize (RGB u8) of a fractional source box (bx, by, bw, bh)
+// inside (w, h) to (nw, nh) — crop and resize in one pass.
+void resize_bilinear(const uint8_t* src, int w, int h, float bx, float by,
+                     float bw, float bh, uint8_t* dst, int nw, int nh) {
+  const float sx = bw / nw;
+  const float sy = bh / nh;
   for (int y = 0; y < nh; ++y) {
-    float fy = (y + 0.5f) * sy - 0.5f;
+    float fy = by + (y + 0.5f) * sy - 0.5f;
     int y0 = fy < 0 ? 0 : static_cast<int>(fy);
     int y1 = y0 + 1 < h ? y0 + 1 : h - 1;
     float wy = fy - y0;
     if (wy < 0) wy = 0;
     for (int x = 0; x < nw; ++x) {
-      float fx = (x + 0.5f) * sx - 0.5f;
+      float fx = bx + (x + 0.5f) * sx - 0.5f;
       int x0 = fx < 0 ? 0 : static_cast<int>(fx);
       int x1 = x0 + 1 < w ? x0 + 1 : w - 1;
       float wx = fx - x0;
@@ -118,32 +127,22 @@ void resize_bilinear(const uint8_t* src, int w, int h, uint8_t* dst, int nw,
   }
 }
 
-// Full per-image op: decode -> short-side resize to out_size -> center
-// crop out_size x out_size. Writes out_size*out_size*3 bytes.
-bool decode_square(const char* path, int out_size, uint8_t* out) {
+// Full per-image op: decode -> center-crop crop_size px at native
+// resolution -> resize the crop to out_size x out_size (one bilinear
+// box-resize pass). Writes out_size*out_size*3 bytes.
+bool decode_square(const char* path, int crop_size, int out_size,
+                   uint8_t* out) {
   std::vector<uint8_t> pix;
-  int w = 0, h = 0;
-  if (!decode_jpeg(path, out_size, pix, w, h)) return false;
-  int nw, nh;
-  if (w < h) {
-    nw = out_size;
-    nh = static_cast<int>(static_cast<float>(h) * out_size / w + 0.5f);
-  } else {
-    nh = out_size;
-    nw = static_cast<int>(static_cast<float>(w) * out_size / h + 0.5f);
-  }
-  if (nh < out_size) nh = out_size;
-  if (nw < out_size) nw = out_size;
-  std::vector<uint8_t> resized(static_cast<size_t>(nw) * nh * 3);
-  resize_bilinear(pix.data(), w, h, resized.data(), nw, nh);
-  int left = (nw - out_size) / 2;
-  int top = (nh - out_size) / 2;
-  for (int y = 0; y < out_size; ++y) {
-    std::memcpy(out + static_cast<size_t>(y) * out_size * 3,
-                resized.data() +
-                    (static_cast<size_t>(top + y) * nw + left) * 3,
-                static_cast<size_t>(out_size) * 3);
-  }
+  int w0 = 0, h0 = 0, w = 0, h = 0;
+  if (!decode_jpeg(path, crop_size, out_size, pix, w0, h0, w, h))
+    return false;
+  int short_side = w0 < h0 ? w0 : h0;
+  float cs = static_cast<float>(
+      crop_size > 0 && crop_size < short_side ? crop_size : short_side);
+  float sx = static_cast<float>(w) / w0;
+  float sy = static_cast<float>(h) / h0;
+  resize_bilinear(pix.data(), w, h, (w0 - cs) / 2 * sx, (h0 - cs) / 2 * sy,
+                  cs * sx, cs * sy, out, out_size, out_size);
   return true;
 }
 
@@ -157,6 +156,7 @@ struct BatchBuffer {
 struct Loader {
   std::vector<std::string> paths;
   int batch;
+  int crop_size;
   int out_size;
   size_t image_bytes;
   std::mt19937_64 rng;
@@ -172,8 +172,9 @@ struct Loader {
   bool stopping = false;
   std::vector<std::thread> workers;
 
-  Loader(std::vector<std::string> p, int b, int s, int nworkers, uint64_t seed)
-      : paths(std::move(p)), batch(b), out_size(s),
+  Loader(std::vector<std::string> p, int b, int c, int s, int nworkers,
+         uint64_t seed)
+      : paths(std::move(p)), batch(b), crop_size(c), out_size(s),
         image_bytes(static_cast<size_t>(s) * s * 3), rng(seed) {
     ring.resize(kRing);
     for (int i = 0; i < kRing; ++i) {
@@ -227,7 +228,7 @@ struct Loader {
       }
       uint8_t* dst = buf->data.data() + image_bytes * slot;
       int attempts = 0;
-      while (!decode_square(path.c_str(), out_size, dst)) {
+      while (!decode_square(path.c_str(), crop_size, out_size, dst)) {
         std::lock_guard<std::mutex> lk(mu);
         if (stopping) return;
         path = next_path_locked();
@@ -267,16 +268,18 @@ struct Loader {
 
 extern "C" {
 
-int gea_decode_square(const char* path, int out_size, uint8_t* out) {
-  return decode_square(path, out_size, out) ? 0 : 1;
+int gea_decode_square(const char* path, int crop_size, int out_size,
+                      uint8_t* out) {
+  return decode_square(path, crop_size, out_size, out) ? 0 : 1;
 }
 
 void* gea_loader_create(const char** paths, int n_paths, int batch,
-                        int out_size, int workers, uint64_t seed) {
+                        int crop_size, int out_size, int workers,
+                        uint64_t seed) {
   if (n_paths <= 0 || batch <= 0 || out_size <= 0) return nullptr;
   std::vector<std::string> p(paths, paths + n_paths);
   if (workers < 1) workers = 1;
-  return new Loader(std::move(p), batch, out_size, workers, seed);
+  return new Loader(std::move(p), batch, crop_size, out_size, workers, seed);
 }
 
 int gea_loader_next(void* handle, uint8_t* out) {

@@ -57,12 +57,13 @@ def load_library() -> Optional[ctypes.CDLL]:
             print(f"[gea] native loader dlopen failed: {e}")
             return None
         lib.gea_decode_square.argtypes = [
-            ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
         ]
         lib.gea_decode_square.restype = ctypes.c_int
         lib.gea_loader_create.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
         ]
         lib.gea_loader_create.restype = ctypes.c_void_p
         lib.gea_loader_next.argtypes = [

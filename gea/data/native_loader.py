@@ -18,14 +18,15 @@ def native_available() -> bool:
     return load_library() is not None
 
 
-def decode_square(path: str, out_size: int) -> np.ndarray:
-    """Single-image decode -> (out_size, out_size, 3) uint8."""
+def decode_square(path: str, crop_size: int, out_size: int) -> np.ndarray:
+    """Single-image decode -> center-crop crop_size px at native res ->
+    (out_size, out_size, 3) uint8 (reference CenterCrop->Resize order)."""
     lib = load_library()
     if lib is None:
         raise RuntimeError("native loader unavailable")
     out = np.empty((out_size, out_size, 3), np.uint8)
     rc = lib.gea_decode_square(
-        path.encode(), out_size,
+        path.encode(), crop_size, out_size,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     if rc != 0:
@@ -34,12 +35,16 @@ def decode_square(path: str, out_size: int) -> np.ndarray:
 
 
 class NativeFolderLoader:
-    """Endless shuffled uint8 batch stream backed by the C++ pool."""
+    """Endless shuffled uint8 batch stream backed by the C++ pool; batches
+    are already the native-resolution center crop (emits_cropped)."""
+
+    emits_cropped = True
 
     def __init__(
         self,
         paths: Sequence[str],
         batch_size: int,
+        crop_size: int,
         decode_size: int,
         workers: int = 4,
         seed: int = 0,
@@ -49,11 +54,13 @@ class NativeFolderLoader:
             raise RuntimeError("native loader unavailable")
         self._lib = lib
         self.batch_size = batch_size
+        self.crop_size = crop_size
         self.decode_size = decode_size
         self.paths: List[bytes] = [p.encode() for p in paths]
         arr = (ctypes.c_char_p * len(self.paths))(*self.paths)
         self._handle = lib.gea_loader_create(
-            arr, len(self.paths), batch_size, decode_size, workers, seed
+            arr, len(self.paths), batch_size, crop_size, decode_size,
+            workers, seed
         )
         if not self._handle:
             raise RuntimeError("gea_loader_create failed")

@@ -4,11 +4,15 @@ normalize) moves on-device").
 
 The reference does all of this on host CPU inside torchvision transforms
 (CenterCrop -> Resize -> RandomHorizontalFlip -> ToTensor -> Normalize,
-SURVEY.md §2 C9). Here the host only decodes JPEG to fixed-size uint8
-arrays; everything else is a jitted device function that XLA fuses into a
-single pass over the batch:
+SURVEY.md §2 C9). Here the host decodes to fixed-size uint8 arrays — for
+folder datasets the decode already applies the reference CenterCrop at
+NATIVE resolution (gea/data/pipeline._decode), so callers pass
+crop_size=decode_size (no-op) via pipeline.device_crop_size; everything
+else is a jitted device function that XLA fuses into a single pass over
+the batch:
 
-* center crop to `crop_size` (static slice),
+* center crop to `crop_size` (static slice; no-op for pre-cropped
+  folder batches),
 * bilinear resize to `image_size` (jax.image.resize — lowers to two
   matmul-like gathers that ride the MXU/VPU),
 * per-sample random horizontal flip (`jnp.where` on a reversed view —

@@ -32,48 +32,71 @@ def list_images(root: str) -> List[str]:
     return out
 
 
-def _decode(path: str, decode_size: int) -> np.ndarray:
-    """Decode to RGB uint8 and pre-shrink on host to a uniform square
-    `decode_size` (>= crop region) so device batches have a static shape.
+def _decode(path: str, crop_size: int, out_size: int) -> np.ndarray:
+    """Decode to RGB uint8, center-crop ``crop_size`` pixels at NATIVE
+    resolution, and resize the crop to a static ``out_size`` square.
 
-    The host does the minimum work with a static output contract; the
-    quality-affecting crop/resize happen on device.
+    The crop-then-resize order matches the reference transform chain
+    (CenterCrop(crop_size) -> Resize(image_size), SURVEY.md C9): the field
+    of view is exactly crop_size source pixels. crop_size <= 0, or images
+    smaller than crop_size, fall back to the largest centered square. The
+    crop+resize is one bilinear pass (PIL box-resize); a JPEG DCT draft
+    prescale kicks in only when the crop region still retains >= out_size
+    pixels afterwards, so no output detail is lost.
     """
     from PIL import Image
 
     with Image.open(path) as im:
-        im = im.convert("RGB")
-        w, h = im.size
-        # Scale the short side to decode_size, keeping aspect, then center
-        # crop to a square — cheap host ops on the already-decoded buffer.
-        scale = decode_size / min(w, h)
-        if scale != 1.0:
-            im = im.resize(
-                (max(decode_size, round(w * scale)), max(decode_size, round(h * scale))),
-                Image.BILINEAR,
+        w0, h0 = im.size
+        cs = min(w0, h0) if crop_size <= 0 else min(crop_size, w0, h0)
+        if im.format == "JPEG" and cs >= 2 * out_size:
+            im.draft(
+                "RGB",
+                (max(1, w0 * out_size // cs), max(1, h0 * out_size // cs)),
             )
-        w, h = im.size
-        left = (w - decode_size) // 2
-        top = (h - decode_size) // 2
-        im = im.crop((left, top, left + decode_size, top + decode_size))
+        im = im.convert("RGB")
+        w, h = im.size  # draft may have shrunk the decode resolution
+        if (w, h) == (w0, h0):
+            # Exact reference parity: integer center crop (torchvision
+            # rounding) then bilinear resize.
+            left = int(round((w0 - cs) / 2.0))
+            top = int(round((h0 - cs) / 2.0))
+            im = im.crop((left, top, left + cs, top + cs))
+            if cs != out_size:
+                im = im.resize((out_size, out_size), Image.BILINEAR)
+        else:
+            # Prescaled decode: the crop box is fractional in decoded
+            # coords — crop+resize in one bilinear box-resize pass.
+            sx, sy = w / w0, h / h0
+            left, top = (w0 - cs) / 2 * sx, (h0 - cs) / 2 * sy
+            im = im.resize(
+                (out_size, out_size),
+                Image.BILINEAR,
+                box=(left, top, left + cs * sx, top + cs * sy),
+            )
         return np.asarray(im, dtype=np.uint8)
 
 
 class FolderDataset:
     """Endless shuffled batch iterator over an image folder; yields uint8
-    batches of shape (batch_size, decode_size, decode_size, 3), dropping
-    each epoch's ragged remainder."""
+    batches of shape (batch_size, decode_size, decode_size, 3) whose
+    content is already the native-resolution center crop (emits_cropped),
+    dropping each epoch's ragged remainder."""
+
+    emits_cropped = True
 
     def __init__(
         self,
         root: str,
         batch_size: int,
+        crop_size: int,
         decode_size: int,
         workers: int = 4,
         seed: int = 0,
     ):
         self.paths = list_images(root)
         self.batch_size = batch_size
+        self.crop_size = crop_size
         self.decode_size = decode_size
         self.rng = np.random.default_rng(seed)
         self.pool = ThreadPoolExecutor(max_workers=max(1, workers))
@@ -89,7 +112,10 @@ class FolderDataset:
                 idx = order[i : i + self.batch_size]
                 arrs = list(
                     self.pool.map(
-                        lambda j: _decode(self.paths[j], self.decode_size), idx
+                        lambda j: _decode(
+                            self.paths[j], self.crop_size, self.decode_size
+                        ),
+                        idx,
                     )
                 )
                 yield np.stack(arrs)
@@ -128,17 +154,36 @@ class SyntheticDataset:
             yield img.astype(np.uint8)
 
 
+def device_crop_size(cfg) -> int:
+    """Crop the device/host preprocess should apply AFTER decode.
+
+    Folder-backed datasets already center-crop crop_size pixels at native
+    resolution inside decode (the reference's CenterCrop field of view), so
+    the post-decode crop must be a no-op (decode_size) — cropping again
+    would narrow the field of view twice. synthetic/cifar10 batches are
+    native content, so the configured crop still applies to them.
+    """
+    decode_size = max(cfg.crop_size, cfg.image_size)
+    return decode_size if cfg.dataset in ("folder", "lsun") else cfg.crop_size
+
+
 def make_dataset(cfg, seed: int = 0):
     """Build the host iterator for a Train*Config (dataset/dataroot/
     batch_size/crop_size/data_workers fields)."""
     decode_size = max(cfg.crop_size, cfg.image_size)
     if cfg.dataset == "synthetic":
         return SyntheticDataset(cfg.batch_size, decode_size, seed=seed)
-    if cfg.dataset == "folder":
+    if cfg.dataset in ("folder", "lsun"):
+        dataroot = cfg.dataroot
+        if cfg.dataset == "lsun":
+            from gea.data.lsun import resolve_lsun_root
+
+            dataroot = resolve_lsun_root(cfg)
         if getattr(cfg, "data_cache", False):
             return CachedFolderDataset(
-                cfg.dataroot,
+                dataroot,
                 cfg.batch_size,
+                cfg.crop_size,
                 decode_size,
                 workers=cfg.data_workers,
                 seed=seed,
@@ -148,14 +193,15 @@ def make_dataset(cfg, seed: int = 0):
             from gea.data.grain_loader import GrainFolderLoader
 
             return GrainFolderLoader(
-                list_images(cfg.dataroot),
+                list_images(dataroot),
                 cfg.batch_size,
+                cfg.crop_size,
                 decode_size,
                 workers=cfg.data_workers,
                 seed=seed,
             )
         if backend in ("auto", "native"):
-            loader = _try_native_loader(cfg, decode_size, seed)
+            loader = _try_native_loader(cfg, dataroot, decode_size, seed)
             if loader is not None:
                 return loader
             if backend == "native":
@@ -164,8 +210,9 @@ def make_dataset(cfg, seed: int = 0):
                     "(no toolchain/libjpeg, or non-JPEG files in folder)"
                 )
         return FolderDataset(
-            cfg.dataroot,
+            dataroot,
             cfg.batch_size,
+            cfg.crop_size,
             decode_size,
             workers=cfg.data_workers,
             seed=seed,
@@ -183,35 +230,38 @@ class CachedFolderDataset:
     entirely — the train step becomes compute-bound (BASELINE.json: the
     alternating step 'never stalls on input')."""
 
+    emits_cropped = True
+
     def __init__(
         self,
         root: str,
         batch_size: int,
+        crop_size: int,
         decode_size: int,
         workers: int = 4,
         seed: int = 0,
     ):
         self.batch_size = batch_size
+        self.crop_size = crop_size
         self.decode_size = decode_size
         self.rng = np.random.default_rng(seed)
         paths = list_images(root)
         self.data = np.empty(
             (len(paths), decode_size, decode_size, 3), np.uint8
         )
-        native = None
+        decode = _decode
         try:
             from gea.data import native_loader
 
             if native_loader.native_available() and all(
                 p.lower().endswith((".jpg", ".jpeg")) for p in paths
             ):
-                native = native_loader.decode_square
+                decode = native_loader.decode_square
         except Exception:
             pass
-        decode = native or (lambda p, s: _decode(p, s))
         with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
             for i, arr in enumerate(
-                pool.map(lambda p: decode(p, decode_size), paths)
+                pool.map(lambda p: decode(p, crop_size, decode_size), paths)
             ):
                 self.data[i] = arr
 
@@ -227,7 +277,7 @@ class CachedFolderDataset:
                 yield self.data[order[i : i + self.batch_size]]
 
 
-def _try_native_loader(cfg, decode_size: int, seed: int):
+def _try_native_loader(cfg, dataroot: str, decode_size: int, seed: int):
     """C++ decode pool (gea/data/native_loader.py) when every file is a
     JPEG and the library builds; None otherwise."""
     try:
@@ -236,13 +286,14 @@ def _try_native_loader(cfg, decode_size: int, seed: int):
         return None
     if not native_available():
         return None
-    paths = list_images(cfg.dataroot)
+    paths = list_images(dataroot)
     if not all(p.lower().endswith((".jpg", ".jpeg")) for p in paths):
         return None
     try:
         return NativeFolderLoader(
             paths,
             cfg.batch_size,
+            cfg.crop_size,
             decode_size,
             workers=cfg.data_workers,
             seed=seed,

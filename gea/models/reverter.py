@@ -12,9 +12,15 @@ space. Used two ways (SURVEY.md §0):
 * **R-separate** — trained after G has finished, against a frozen G; purely
   post-hoc input-space correction at inference.
 
-Here R predicts a *residual* Δz (the chain form above); ``apply_correction``
-composes the full corrected code. The similarity penalty
-``lambda_r * ||Δz||²`` is implemented in gea/train/losses.py.
+One module, two output contracts — be explicit when wiring R:
+
+* **R-iterative treats R's output as a residual Δz**: the chain composes
+  ``z_{t+1} = z_t + R(G(z_t))`` (``iterative_chain`` below /
+  steps_r.build_r_iterative_step), and the similarity penalty
+  ``lambda_r * ||Δz||²`` (gea/train/losses.py) regularizes the raw output.
+* **R-separate treats R's output as the absolute corrected code**: training
+  targets the full chain-final code (steps_r: loss vs ``zs[-1]``), and
+  sample_r_separate blends ``z_hat`` directly with z. No residual add.
 """
 
 from __future__ import annotations

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gea.data.ondevice import preprocess_batch
-from gea.data.pipeline import make_dataset
+from gea.data.pipeline import device_crop_size, make_dataset
 from gea.data.prefetch import device_prefetch
 from gea.parallel import make_mesh
 from gea.parallel.dp import batch_sharding
@@ -78,11 +78,14 @@ def input_iterator(cfg, mesh, seed: int) -> Iterator[jax.Array]:
     host_rng = np.random.default_rng(seed ^ 0xFEED)
 
     def host_batches():
+        # Folder-backed datasets already center-cropped at native res inside
+        # decode, so the host transform must not crop again (ADVICE.md r1).
+        crop = device_crop_size(cfg)
         for raw in ds.batches():
             yield host_preprocess(
                 raw,
                 host_rng,
-                crop_size=cfg.crop_size,
+                crop_size=crop,
                 image_size=cfg.image_size,
                 augment_flip=cfg.augment_flip,
             )
@@ -106,7 +109,7 @@ def fuse_input_pipeline(cfg, step_fn, axis_name: str = None):
             real = preprocess_batch(
                 raw,
                 rng,
-                crop_size=cfg.crop_size,
+                crop_size=device_crop_size(cfg),
                 image_size=cfg.image_size,
                 augment_flip=cfg.augment_flip,
             )
@@ -169,10 +172,16 @@ class TrainLoop:
         self.loss_keys = loss_keys
         self.plotter = LossPlotter()
         self.meter = ThroughputMeter(cfg.batch_size)
+        # Multihost: exactly one process owns run_dir side-effects (grids,
+        # loss plot, checkpoints) — every process computing them against
+        # shared storage would race/duplicate writes (ADVICE.md r1).
+        self.is_lead = (
+            not getattr(cfg, "multihost", False) or jax.process_index() == 0
+        )
         self._data_rng = jax.random.PRNGKey(cfg.seed ^ 0x5EED)
         self._profiling = False
         self._tb = None
-        if getattr(cfg, "tensorboard", False):
+        if getattr(cfg, "tensorboard", False) and self.is_lead:
             try:
                 import tensorflow as tf
 
@@ -229,7 +238,8 @@ class TrainLoop:
                 # abort loudly instead of burning the remaining budget.
                 bad = [k for k, v in m.items() if not np.isfinite(v)]
                 if bad:
-                    save_checkpoint(self.run_dir, step_now, self.state)
+                    if self.is_lead:
+                        save_checkpoint(self.run_dir, step_now, self.state)
                     raise FloatingPointError(
                         f"non-finite metrics {bad} at iter {step_now}; "
                         f"post-mortem checkpoint written to {self.run_dir}"
@@ -251,11 +261,17 @@ class TrainLoop:
                     flush=True,
                 )
 
-            if step_now % cfg.vis_interval == 0 and self.vis_fn is not None:
+            if (
+                step_now % cfg.vis_interval == 0
+                and self.vis_fn is not None
+                and self.is_lead
+            ):
                 self.vis_fn(self.state, step_now)
                 self.plotter.plot(os.path.join(self.run_dir, "plots", "loss.png"))
 
-            if step_now % cfg.save_interval == 0 or step_now == cfg.niter:
+            if (
+                step_now % cfg.save_interval == 0 or step_now == cfg.niter
+            ) and self.is_lead:
                 # Async: serialization overlaps the next train steps
                 # (orbax AsyncCheckpointer); we block only on loop exit.
                 save_checkpoint(

@@ -66,14 +66,17 @@ def save_checkpoint(
     else:
         ocp.PyTreeCheckpointer().save(path, jax.device_get(state), force=True)
     if keep > 0:
+        # Count the just-written step even when its directory is not yet
+        # committed (async save in flight) — otherwise listdir misses it
+        # and keep+1 checkpoints survive every async prune (ADVICE.md r1).
         root = _ckpt_root(run_dir)
-        steps = sorted(
+        on_disk = sorted(
             int(d) for d in os.listdir(root) if re.fullmatch(r"\d+", d)
         )
-        for old in steps[:-keep]:
-            if old == step:
-                continue
-            shutil.rmtree(os.path.join(root, str(old)), ignore_errors=True)
+        kept = set(sorted(set(on_disk) | {step})[-keep:])
+        for old in on_disk:
+            if old != step and old not in kept:
+                shutil.rmtree(os.path.join(root, str(old)), ignore_errors=True)
 
 
 def latest_step(run_dir: str) -> Optional[int]:
@@ -89,11 +92,22 @@ def restore_checkpoint(run_dir: str, target: Any, step: Optional[int] = None) ->
     GANTrainState). Picks the latest step when none is given — the
     'auto-resume-from-latest' elastic-lite contract (SURVEY.md §5)."""
     wait_for_checkpoints()  # an in-flight async save may be the latest
-    if step is None:
+    auto_pick = step is None
+    if auto_pick:
         step = latest_step(run_dir)
     if step is None:
         raise FileNotFoundError(f"no checkpoints under {run_dir!r}")
     path = os.path.join(_ckpt_root(run_dir), str(step))
     ckptr = ocp.PyTreeCheckpointer()
-    restored = ckptr.restore(path, item=jax.device_get(target))
-    return restored
+    try:
+        return ckptr.restore(path, item=jax.device_get(target))
+    except FileNotFoundError:
+        # A concurrent writer's retention prune can delete the directory
+        # between latest_step() and restore (ADVICE.md r1) — re-pick once.
+        if not auto_pick:
+            raise
+        retry = latest_step(run_dir)
+        if retry is None or retry == step:
+            raise
+        path = os.path.join(_ckpt_root(run_dir), str(retry))
+        return ckptr.restore(path, item=jax.device_get(target))

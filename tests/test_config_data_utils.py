@@ -82,7 +82,9 @@ def test_folder_dataset(tmp_path):
             np.uint8
         )
         Image.fromarray(arr).save(tmp_path / f"img{i}.png")
-    ds = FolderDataset(str(tmp_path), batch_size=3, decode_size=32, workers=2)
+    ds = FolderDataset(
+        str(tmp_path), batch_size=3, crop_size=36, decode_size=32, workers=2
+    )
     b = next(ds.batches())
     assert b.shape == (3, 32, 32, 3) and b.dtype == np.uint8
 
@@ -199,3 +201,56 @@ def test_save_stage_gif(tmp_path):
 
     with Image.open(p) as im:
         assert im.is_animated and im.n_frames == 3
+
+
+def test_lsun_dataset_folder_backed(tmp_path):
+    """--dataset lsun (SURVEY.md C9 [M]): plain <class>/ image subfolders
+    resolve without lmdb; batches flow through the folder backends."""
+    from PIL import Image
+
+    from gea.config import TrainGLISConfig
+    from gea.data.pipeline import make_dataset
+
+    cls_dir = tmp_path / "bedroom"
+    cls_dir.mkdir()
+    for i in range(5):
+        arr = (np.random.default_rng(i).random((64, 80, 3)) * 255).astype(
+            np.uint8
+        )
+        Image.fromarray(arr).save(cls_dir / f"b{i}.png")
+    cfg = TrainGLISConfig(
+        dataset="lsun",
+        dataroot=str(tmp_path),
+        lsun_classes="bedroom",
+        batch_size=2,
+        crop_size=48,
+        image_size=32,
+        data_backend="pil",
+    )
+    ds = make_dataset(cfg, seed=0)
+    b = next(ds.batches())
+    assert b.shape == (2, 48, 48, 3) and b.dtype == np.uint8
+
+
+def test_lsun_missing_class_errors(tmp_path):
+    from gea.config import TrainGLISConfig
+    from gea.data.pipeline import make_dataset
+
+    cfg = TrainGLISConfig(
+        dataset="lsun", dataroot=str(tmp_path), lsun_classes="kitchen",
+        batch_size=2,
+    )
+    with pytest.raises(FileNotFoundError):
+        make_dataset(cfg, seed=0)
+
+
+def test_device_crop_size_semantics():
+    from gea.config import TrainGLISConfig
+    from gea.data.pipeline import device_crop_size
+
+    folder = TrainGLISConfig(dataset="folder", crop_size=160, image_size=80)
+    assert device_crop_size(folder) == 160  # decode_size: no second crop
+    big = TrainGLISConfig(dataset="folder", crop_size=64, image_size=128)
+    assert device_crop_size(big) == 128  # never double-crop upscaled batches
+    synth = TrainGLISConfig(dataset="synthetic", crop_size=64, image_size=128)
+    assert device_crop_size(synth) == 64

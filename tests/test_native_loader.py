@@ -30,8 +30,8 @@ def jpeg_dir(tmp_path, rng):
 def test_decode_square_matches_pil(jpeg_dir):
     from gea.data.pipeline import _decode
 
-    a = native.decode_square(jpeg_dir[0], 48).astype(np.float32)
-    b = _decode(jpeg_dir[0], 48).astype(np.float32)
+    a = native.decode_square(jpeg_dir[0], 80, 48).astype(np.float32)
+    b = _decode(jpeg_dir[0], 80, 48).astype(np.float32)
     assert a.shape == (48, 48, 3)
     corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
     assert corr > 0.995
@@ -42,12 +42,13 @@ def test_decode_rejects_garbage(tmp_path):
     p = tmp_path / "bad.jpg"
     p.write_bytes(b"not a jpeg at all")
     with pytest.raises(ValueError):
-        native.decode_square(str(p), 32)
+        native.decode_square(str(p), 0, 32)
 
 
 def test_loader_streams_batches(jpeg_dir):
     ld = native.NativeFolderLoader(
-        jpeg_dir, batch_size=4, decode_size=32, workers=3, seed=0
+        jpeg_dir, batch_size=4, crop_size=64, decode_size=32, workers=3,
+        seed=0,
     )
     it = ld.batches()
     batches = [next(it) for _ in range(5)]
@@ -62,8 +63,8 @@ def test_cached_folder_dataset(jpeg_dir):
     from gea.data.pipeline import CachedFolderDataset
 
     ds = CachedFolderDataset(
-        os.path.dirname(jpeg_dir[0]), batch_size=4, decode_size=32, workers=2,
-        seed=0,
+        os.path.dirname(jpeg_dir[0]), batch_size=4, crop_size=64,
+        decode_size=32, workers=2, seed=0,
     )
     assert len(ds) == 10
     it = ds.batches()
@@ -108,3 +109,54 @@ def test_make_dataset_selects_grain(jpeg_dir):
     assert type(ds).__name__ == "GrainFolderLoader"
     b = next(ds.batches())
     assert b.shape == (4, 32, 32, 3) and b.dtype == np.uint8
+
+
+def test_decode_field_of_view_is_native_crop(tmp_path):
+    """CenterCrop(crop) must happen at NATIVE resolution before any resize
+    (ADVICE.md r1 medium): with a white 60x60 center on a black 200x240
+    canvas, crop_size=60 must see only white. The old resize-then-crop
+    order would shrink first and leak black border into the crop."""
+    from gea.data.pipeline import _decode
+
+    arr = np.zeros((240, 200, 3), np.uint8)
+    arr[90:150, 70:130] = 255
+    p = tmp_path / "fov.jpg"
+    Image.fromarray(arr).save(p, quality=98)
+
+    for decoded in (
+        _decode(str(p), 60, 48),
+        native.decode_square(str(p), 60, 48),
+    ):
+        assert decoded.mean() > 245, decoded.mean()
+
+    # and crop_size=0 / crop >= short side falls back to the largest
+    # centered square (mixed black/white)
+    full = _decode(str(p), 0, 48).astype(np.float32)
+    assert 10 < full.mean() < 120
+
+
+def test_decode_matches_torchvision_oracle(tmp_path):
+    """PIL path bit-parity with the reference transform: CenterCrop(cs)
+    (integer box) then Resize(out) — on an even-offset crop the box-resize
+    is the identical PIL op."""
+    from PIL import Image as PILImage
+
+    from gea.data.pipeline import _decode
+
+    rng = np.random.default_rng(3)
+    arr = (rng.random((218, 178, 3)) * 255).astype(np.uint8)
+    p = tmp_path / "face.png"
+    PILImage.fromarray(arr).save(p)
+
+    ours = _decode(str(p), 160, 96)
+    with PILImage.open(p) as im:
+        im = im.convert("RGB")
+        w, h = im.size
+        left, top = (w - 160) // 2, (h - 160) // 2
+        oracle = np.asarray(
+            im.crop((left, top, left + 160, top + 160)).resize(
+                (96, 96), PILImage.BILINEAR
+            ),
+            dtype=np.uint8,
+        )
+    assert np.array_equal(ours, oracle)
