@@ -104,7 +104,18 @@ def main() -> None:
         ),
         "value": round(images_per_sec, 2),
         "unit": "images/sec/chip",
+        # vs_baseline compares against torch-CPU — the only PyTorch device
+        # in this image — NOT the ≥5x-A100 north star (VERDICT r1 #8).
         "vs_baseline": round(images_per_sec / baseline, 3) if baseline else 0.0,
+        "baseline": (
+            f"torch-CPU reference workload, {baseline} img/s "
+            "(BASELINE_MEASURED.json; no CUDA device exists in this image)"
+        ),
+        "north_star": (
+            "BASELINE.md: >=5x A100-PyTorch img/s/chip — unmeasurable here; "
+            "estimated A100-torch ~6-12k img/s (BASELINE.md 'Estimated A100 "
+            "ratio'), so this v5e chip is ~parity per chip, not 2607x"
+        ),
     }
     print(json.dumps(result))
 

@@ -69,6 +69,11 @@ def main(argv: Optional[list] = None):
     p.add_argument(
         "--extractor", default="auto", choices=("auto", "inception", "random")
     )
+    p.add_argument(
+        "--inception_weights", default="",
+        help="local keras InceptionV3 weights (.h5/.weights.h5) for true "
+        "FID offline; overrides --extractor",
+    )
     p.add_argument("--out", default="", help="optional JSON output path")
     p.add_argument(
         "--step", type=int, default=0, help="checkpoint step (0 = latest)"
@@ -89,6 +94,7 @@ def main(argv: Optional[list] = None):
         image_size=train_cfg.image_size,
         num_samples=a.num_samples,
         extractor=a.extractor,
+        inception_weights=a.inception_weights,
     )
     result = {
         "metric": label,

@@ -36,6 +36,13 @@ def main(argv: Optional[list] = None):
     p.add_argument(
         "--step", type=int, default=0, help="checkpoint step (0 = latest)"
     )
+    p.add_argument(
+        "--extractor", default="auto", choices=("auto", "inception", "random")
+    )
+    p.add_argument(
+        "--inception_weights", default="",
+        help="local keras InceptionV3 weights (.h5) for true FID offline",
+    )
     a = p.parse_args(argv)
 
     from gea.utils.checkpoint import restore_checkpoint
@@ -59,7 +66,9 @@ def main(argv: Optional[list] = None):
         ).reshape(n_stages, -1)
         return images, scores
 
-    extract, label = make_feature_extractor(cfg.image_size, "auto")
+    extract, label = make_feature_extractor(
+        cfg.image_size, a.extractor, inception_weights=a.inception_weights
+    )
     stage_stats = [None] * n_stages
     d_scores = [[] for _ in range(n_stages)]
 

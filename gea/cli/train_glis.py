@@ -24,12 +24,14 @@ import numpy as np
 
 from gea.config import TrainGLISConfig
 from gea.models import Discriminator, GeneratorLIS
-from gea.parallel.dp import make_parallel_input_step, replicate_state
+from gea.parallel.dp import replicate_state
 from gea.parallel.mesh import DATA_AXIS
 from gea.train.runner import (
     TrainLoop,
+    dispatch_chunk,
     fuse_input_pipeline,
     input_iterator,
+    make_step_dispatcher,
     maybe_resume,
     prepare_run,
     resolve_mesh,
@@ -95,17 +97,18 @@ def run(cfg: TrainGLISConfig):
         cfg, generator, discriminator, tx_g, tx_d, axis_name=axis
     )
     fused = fuse_input_pipeline(cfg, step, axis_name=axis)
-    if mesh is not None:
-        if cfg.debug_checks:
+    if cfg.debug_checks:
+        if mesh is not None:
             raise SystemExit("--debug_checks is single-device only")
-        step_fn = make_parallel_input_step(fused, mesh)
-        state = replicate_state(state, mesh)
-    elif cfg.debug_checks:
+        if dispatch_chunk(cfg) > 1:
+            raise SystemExit("--debug_checks requires --steps_per_dispatch 1")
         from gea.utils.debug import checked
 
         step_fn = checked(fused)
     else:
-        step_fn = jax.jit(fused, donate_argnums=0)
+        if mesh is not None:
+            state = replicate_state(state, mesh)
+        step_fn = make_step_dispatcher(cfg, mesh, fused)
 
     data_iter = input_iterator(cfg, mesh, cfg.seed)
     vis = make_vis_fn(cfg, generator, run_dir)

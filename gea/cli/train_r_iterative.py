@@ -19,12 +19,13 @@ import numpy as np
 
 from gea.config import TrainRIterativeConfig
 from gea.models import Discriminator, GeneratorLIS, Reverter
-from gea.parallel.dp import make_parallel_input_step, replicate_state
+from gea.parallel.dp import replicate_state
 from gea.parallel.mesh import DATA_AXIS
 from gea.train.runner import (
     TrainLoop,
     fuse_input_pipeline,
     input_iterator,
+    make_step_dispatcher,
     maybe_resume,
     prepare_run,
     resolve_mesh,
@@ -104,10 +105,8 @@ def run(cfg: TrainRIterativeConfig):
     )
     fused = fuse_input_pipeline(cfg, step, axis_name=axis)
     if mesh is not None:
-        step_fn = make_parallel_input_step(fused, mesh)
         state = replicate_state(state, mesh)
-    else:
-        step_fn = jax.jit(fused, donate_argnums=0)
+    step_fn = make_step_dispatcher(cfg, mesh, fused)
 
     data_iter = input_iterator(cfg, mesh, cfg.seed)
     vis = make_vis_fn(cfg, generator, reverter, run_dir)

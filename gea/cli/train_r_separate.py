@@ -23,9 +23,16 @@ import numpy as np
 from gea.config import TrainRSeparateConfig
 from gea.cli.sample import load_generator
 from gea.models import Reverter
-from gea.parallel.dp import make_parallel_input_step, replicate_state
+from gea.parallel.dp import replicate_state
 from gea.parallel.mesh import DATA_AXIS
-from gea.train.runner import TrainLoop, maybe_resume, prepare_run, resolve_mesh
+from gea.train.runner import (
+    TrainLoop,
+    dispatch_chunk,
+    make_step_dispatcher,
+    maybe_resume,
+    prepare_run,
+    resolve_mesh,
+)
 from gea.train.state import GANTrainState, make_optimizer, param_count
 from gea.train.steps_r import build_r_separate_step
 from gea.utils.grids import save_stage_grids
@@ -70,10 +77,14 @@ def create_r_state(cfg, reverter: Reverter, tx_r, seed: int) -> GANTrainState:
     )
 
 
-def _dummy_data(num_chips: int = 1):
+def _dummy_data(num_chips: int = 1, k: int = 1):
     """R-separate consumes no real data; this feeds the generic TrainLoop a
-    shardable placeholder batch."""
-    z = np.zeros((num_chips,), np.float32)
+    shardable placeholder batch ((k, num_chips) when dispatch is chunked)."""
+    z = (
+        np.zeros((k, num_chips), np.float32)
+        if k > 1
+        else np.zeros((num_chips,), np.float32)
+    )
     while True:
         yield z
 
@@ -144,10 +155,8 @@ def run(cfg: TrainRSeparateConfig):
         return step(state, raw)
 
     if mesh is not None:
-        step_fn = make_parallel_input_step(step_no_input, mesh)
         state = replicate_state(state, mesh)
-    else:
-        step_fn = jax.jit(step_no_input, donate_argnums=0)
+    step_fn = make_step_dispatcher(cfg, mesh, step_no_input)
 
     vis = make_vis_fn(cfg, generator, g_variables, reverter, run_dir)
     loop = TrainLoop(
@@ -155,7 +164,7 @@ def run(cfg: TrainRSeparateConfig):
         run_dir,
         state,
         step_fn,
-        _dummy_data(num_chips),
+        _dummy_data(num_chips, dispatch_chunk(cfg)),
         vis_fn=vis,
         num_chips=num_chips,
         loss_keys=("loss_r",),

@@ -245,6 +245,13 @@ class TrainGLISConfig(ModelConfig, DataConfig):
     num_devices: int = _flag(
         0, "data-parallel device count; 0 = all visible devices"
     )
+    steps_per_dispatch: int = _flag(
+        1,
+        "fuse K train steps into one XLA dispatch (lax.scan) — amortizes "
+        "host->device dispatch latency (remote/tunneled runtimes have a "
+        "~75ms floor per dispatch); log/vis/save cadences fire at chunk "
+        "boundaries. 1 = one dispatch per step",
+    )
     profile_dir: str = _flag(
         "", "if set, write a jax.profiler trace for steps 10..15 here"
     )
@@ -335,6 +342,11 @@ class TrainRConfig(ModelConfig, DataConfig):
     vis_rows: int = _flag(8, "rows (and cols) of the sample grid")
     log_interval: int = _flag(50, "stdout loss print every N iterations")
     num_devices: int = _flag(0, "data-parallel devices; 0 = all visible")
+    steps_per_dispatch: int = _flag(
+        1,
+        "fuse K train steps into one XLA dispatch (lax.scan); "
+        "log/vis/save cadences fire at chunk boundaries",
+    )
     use_pallas: bool = _flag(True, "use fused Pallas kernels on TPU")
     profile_dir: str = _flag(
         "", "if set, write a jax.profiler trace for steps 10..15 here"

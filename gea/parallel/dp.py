@@ -59,21 +59,27 @@ def make_parallel_step(
 def make_parallel_input_step(
     step_fn: Callable[[Any, jax.Array, jax.Array], Tuple[Any, Any]],
     mesh: Mesh,
+    chunked: bool = False,
 ) -> Callable[[Any, jax.Array, jax.Array], Tuple[Any, Any]]:
     """Like make_parallel_step but for fused-input steps
     step(state, raw_batch, rng): raw sharded over the data axis, the rng
-    key replicated (the step folds in the device index itself)."""
+    key replicated (the step folds in the device index itself). With
+    chunked=True the raw input is a K-step stack (K, B, ...) — the batch
+    dim is axis 1, so the data axis shards axis 1 and the scan inside the
+    step walks axis 0 locally on every device."""
+    raw_spec = P(None, DATA_AXIS) if chunked else P(DATA_AXIS)
     mapped = _shard_map(
         step_fn,
         mesh,
-        in_specs=(P(), P(DATA_AXIS), P()),
+        in_specs=(P(), raw_spec, P()),
         out_specs=(P(), P()),
     )
     return jax.jit(mapped, donate_argnums=0)
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P(DATA_AXIS))
+def batch_sharding(mesh: Mesh, chunked: bool = False) -> NamedSharding:
+    """Leading-dim batch sharding; chunked stacks shard axis 1 (K, B, ...)."""
+    return NamedSharding(mesh, P(None, DATA_AXIS) if chunked else P(DATA_AXIS))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

@@ -64,12 +64,18 @@ def build_glis_train_step(
     tx_g: optax.GradientTransformation,
     tx_d: optax.GradientTransformation,
     axis_name: Optional[str] = None,
+    fold_device_noise: bool = True,
 ) -> Callable[[GANTrainState, jnp.ndarray], Tuple[GANTrainState, Metrics]]:
     """Returns step(state, real_images) -> (state, metrics).
 
     `real_images`: (local_batch, H, W, 3) float32 in [-1, 1]. When
     `axis_name` is set the function must run inside shard_map/pmap over
     that axis and `real_images` is the per-device shard.
+
+    `fold_device_noise=False` makes every device draw IDENTICAL z/noise
+    (test-only: enables exact single-device-equivalence checks of the
+    shard_map/psum path; never use for training — replicas would explore
+    the same codes).
     """
     weights = stage_weights(cfg)
     n_stages = generator.n_stages
@@ -77,7 +83,7 @@ def build_glis_train_step(
     def step(state: GANTrainState, real: jnp.ndarray):
         batch = real.shape[0]
         step_rng = jax.random.fold_in(state.rng, state.step)
-        if axis_name is not None:
+        if axis_name is not None and fold_device_noise:
             # Device-unique noise; params stay replicated.
             step_rng = jax.random.fold_in(step_rng, lax.axis_index(axis_name))
         z_rng, sn_rng = jax.random.split(step_rng)

@@ -19,12 +19,14 @@ class ThroughputMeter:
         self._t0: Optional[float] = None
         self._steps_timed = 0
 
-    def tick(self) -> None:
-        self._count += 1
-        if self._count == self.warmup_steps:
+    def tick(self, n: int = 1) -> None:
+        """Record n completed train steps (n > 1 for chunked dispatch)."""
+        prev = self._count
+        self._count += n
+        if prev < self.warmup_steps <= self._count:
             self._t0 = time.perf_counter()
-        elif self._count > self.warmup_steps:
-            self._steps_timed += 1
+        elif prev >= self.warmup_steps:
+            self._steps_timed += n
 
     def stats(self, num_chips: int = 1) -> Dict[str, float]:
         if self._t0 is None or self._steps_timed == 0:

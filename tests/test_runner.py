@@ -106,3 +106,95 @@ def test_checked_wrapper_raises_on_nan():
     assert float(fn(jnp.asarray(1.0))) == 0.0
     with pytest.raises(checkify.JaxRuntimeError, match="nan"):
         fn(jnp.asarray(-1.0))
+
+
+# ------------------------------------------------------------- chunked loop
+
+
+def test_chunked_dispatch_full_run(tmp_path):
+    """steps_per_dispatch=K (VERDICT r1 #3): the loop must advance K steps
+    per dispatch, fire side-effects at chunk boundaries, handle the ragged
+    tail (niter % K != 0) and land on exactly niter."""
+    from gea.cli.train_glis import run as train_run
+
+    cfg = TrainGLISConfig(
+        dataset="synthetic",
+        image_size=16,
+        code_size=16,
+        num_features=8,
+        max_features=16,
+        r_iterations=1,
+        batch_size=4,
+        niter=11,
+        steps_per_dispatch=4,
+        log_interval=4,
+        vis_interval=8,
+        save_interval=8,
+        vis_rows=2,
+        save_path=str(tmp_path / "chunked"),
+        dtype="float32",
+        num_devices=1,
+    )
+    state, _ = train_run(cfg)
+    assert int(state.step) == 11
+    ckpts = sorted(
+        int(d) for d in os.listdir(tmp_path / "chunked" / "checkpoints")
+    )
+    # save_interval=8 crossed inside the 2nd chunk (steps 5-8) -> saved at
+    # 8; final save at niter=11.
+    assert ckpts == [8, 11]
+    samples = os.listdir(tmp_path / "chunked" / "samples")
+    assert any("00000008" in s for s in samples)
+
+
+def test_chunked_matches_step_count_on_mesh(tmp_path):
+    """Chunked dispatch under shard_map: (K, B, ...) raw stacks shard the
+    batch axis (axis 1) and scan locally over K."""
+    from gea.cli.train_glis import run as train_run
+
+    cfg = TrainGLISConfig(
+        dataset="synthetic",
+        image_size=16,
+        code_size=16,
+        num_features=8,
+        max_features=16,
+        r_iterations=0,
+        batch_size=8,
+        niter=6,
+        steps_per_dispatch=3,
+        log_interval=3,
+        vis_interval=100,
+        save_interval=100,
+        vis_rows=2,
+        save_path=str(tmp_path / "mesh"),
+        dtype="float32",
+        num_devices=4,
+    )
+    state, _ = train_run(cfg)
+    assert int(np.asarray(jax.device_get(state.step)).reshape(-1)[0]) == 6
+
+
+def test_chunk_steps_equivalent_to_sequential():
+    """lax.scan chunking must compute the same updates as calling the step
+    k times with the same rng sequence."""
+    from gea.train.runner import chunk_steps
+
+    def step(state, raw, rng):
+        bump = jnp.sum(raw) + jax.random.normal(rng, ())
+        return state + bump, {"m": bump}
+
+    k = 4
+    raws = jnp.arange(k * 3, dtype=jnp.float32).reshape(k, 3)
+    rng = jax.random.PRNGKey(7)
+    chunked_state, ms = jax.jit(chunk_steps(step, k))(
+        jnp.float32(0), raws, rng
+    )
+
+    seq_state = jnp.float32(0)
+    rngs = jax.random.split(rng, k)
+    seq_ms = []
+    for i in range(k):
+        seq_state, m = step(seq_state, raws[i], rngs[i])
+        seq_ms.append(m["m"])
+    np.testing.assert_allclose(chunked_state, seq_state, rtol=1e-6)
+    np.testing.assert_allclose(ms["m"], jnp.stack(seq_ms), rtol=1e-6)
