@@ -43,6 +43,57 @@ def fake_batch_iter(generator, variables, cfg, batch_size: int, seed: int):
         yield np.asarray(jax.device_get(render(z, sn)))
 
 
+def corrected_batch_iter(
+    generator,
+    g_vars,
+    cfg,
+    r_path: str,
+    batch_size: int,
+    seed: int,
+    correction_steps: int = 1,
+    correction_strength: float = 0.3,
+    shell_renorm: bool = True,
+    r_step: int = 0,
+):
+    """Final images AFTER the R-separate correction chain — lets the
+    ablation 'does correction improve FID?' run as a first-class metric
+    (VERDICT r1 #4) instead of an offline script."""
+    from gea.cli.sample_r_separate import load_reverter
+
+    reverter, r_vars, _r_cfg = load_reverter(r_path, step=r_step or None)
+
+    @jax.jit
+    def chain(z, sn):
+        d = float(z.shape[-1])
+        for _ in range(correction_steps):
+            images, _ = generator.apply(
+                g_vars, z, spatial_noise=sn, train=False,
+                render_all_stages=True,
+            )
+            z_hat = reverter.apply(r_vars, images[-1], train=False)
+            z = (1.0 - correction_strength) * z + correction_strength * z_hat
+            if shell_renorm:
+                z = z * jnp.sqrt(d) / jnp.linalg.norm(
+                    z, axis=-1, keepdims=True
+                )
+        images, _ = generator.apply(
+            g_vars, z, spatial_noise=sn, train=False, render_all_stages=True
+        )
+        return images[-1]
+
+    rng = jax.random.PRNGKey(seed)
+    while True:
+        rng, z_rng, sn_rng = jax.random.split(rng, 3)
+        z = jax.random.normal(z_rng, (batch_size, cfg.code_size), jnp.float32)
+        sn_shape = generator.spatial_noise_shape(batch_size)
+        sn = (
+            jax.random.normal(sn_rng, sn_shape, jnp.float32)
+            if sn_shape
+            else None
+        )
+        yield np.asarray(jax.device_get(chain(z, sn)))
+
+
 def real_batch_iter(cfg, seed: int):
     ds = make_dataset(cfg, seed=seed)
     rng = jax.random.PRNGKey(seed)
@@ -78,6 +129,18 @@ def main(argv: Optional[list] = None):
     p.add_argument(
         "--step", type=int, default=0, help="checkpoint step (0 = latest)"
     )
+    p.add_argument(
+        "--r_path", default="",
+        help="R-separate run dir: score CORRECTED samples "
+        "G(blend(z, R(G(z)))) instead of plain ones",
+    )
+    p.add_argument("--correction_steps", type=int, default=1)
+    p.add_argument("--correction_strength", type=float, default=0.3)
+    p.add_argument(
+        "--shell_renorm", type=lambda v: v.lower() not in ("0", "false", "no"),
+        default=True,
+    )
+    p.add_argument("--r_step", type=int, default=0)
     a = p.parse_args(argv)
 
     generator, variables, train_cfg = load_generator(
@@ -88,9 +151,21 @@ def main(argv: Optional[list] = None):
         dataroot=a.dataroot or train_cfg.dataroot,
         batch_size=a.batch_size,
     )
+    if a.r_path:
+        fakes = corrected_batch_iter(
+            generator, variables, train_cfg, a.r_path, a.batch_size, a.seed,
+            correction_steps=a.correction_steps,
+            correction_strength=a.correction_strength,
+            shell_renorm=a.shell_renorm,
+            r_step=a.r_step,
+        )
+    else:
+        fakes = fake_batch_iter(
+            generator, variables, train_cfg, a.batch_size, a.seed
+        )
     fid, label = compute_fid(
         real_batch_iter(data_cfg, a.seed),
-        fake_batch_iter(generator, variables, train_cfg, a.batch_size, a.seed),
+        fakes,
         image_size=train_cfg.image_size,
         num_samples=a.num_samples,
         extractor=a.extractor,
@@ -102,6 +177,12 @@ def main(argv: Optional[list] = None):
         "num_samples": a.num_samples,
         "load_path": os.path.abspath(a.load_path),
     }
+    if a.r_path:
+        result["r_path"] = os.path.abspath(a.r_path)
+        result["correction"] = (
+            f"steps={a.correction_steps} strength={a.correction_strength} "
+            f"shell_renorm={a.shell_renorm}"
+        )
     print(json.dumps(result))
     if a.out:
         with open(a.out, "w") as f:

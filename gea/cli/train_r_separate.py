@@ -146,9 +146,30 @@ def run(cfg: TrainRSeparateConfig):
     print(f"[gea] R params: {param_count(state.params_r):,}  devices: {num_chips}")
     state, start_step = maybe_resume(cfg, state)
 
+    discriminator, d_variables = None, None
+    if cfg.r_adv_weight > 0 or cfg.r_mine_weight > 0:
+        # D-feedback / defective-z mining need the G run's frozen D
+        # (same checkpoint the generator came from).
+        from gea.cli.sample import load_discriminator
+
+        try:
+            discriminator, d_variables = load_discriminator(cfg.g_path)
+        except (KeyError, FileNotFoundError) as e:
+            print(
+                f"[gea] no discriminator in {cfg.g_path!r} ({e}); "
+                "falling back to pure code-reconstruction MSE"
+            )
+
     axis = DATA_AXIS if mesh is not None else None
     step = build_r_separate_step(
-        cfg, generator, reverter, g_variables, tx_r, axis_name=axis
+        cfg,
+        generator,
+        reverter,
+        g_variables,
+        tx_r,
+        axis_name=axis,
+        discriminator=discriminator,
+        frozen_d_variables=d_variables,
     )
 
     def step_no_input(state, raw, rng):

@@ -212,6 +212,12 @@ class DataConfig(BaseConfig):
         "crop/resize/flip/normalize on device (jit) instead of on host; "
         "host only decodes JPEG to uint8",
     )
+    synthetic_on_device: bool = _flag(
+        False,
+        "dataset=synthetic only: generate the synthetic batch INSIDE the "
+        "jitted train step (zero host->device input transfer) — makes "
+        "benchmarks/e2e runs compute-bound on hosts with slow device links",
+    )
     augment_flip: bool = _flag(True, "random horizontal flip augmentation")
 
 
@@ -378,6 +384,23 @@ class TrainRSeparateConfig(TrainRConfig):
         "", "experiment directory of the trained (frozen) generator"
     )
     r_hidden: int = _flag(512, "hidden width of the reverser FC head")
+    r_adv_weight: float = _flag(
+        0.3,
+        "weight of the frozen-D adversarial term on G(R(G(z))): trains R "
+        "to emit codes that RENDER WELL, not just reconstruct z — the "
+        "D-feedback loss (SURVEY.md §3.4 [M] 'adversarial via D and/or "
+        "similarity'). 0 = pure code-reconstruction MSE (round-1 behavior, "
+        "which shrinks codes toward the mean)",
+    )
+    r_mse_weight: float = _flag(
+        1.0, "weight of the ||R(G(z)) - z||^2 code-reconstruction term"
+    )
+    r_mine_weight: float = _flag(
+        0.0,
+        "defective-z mining in [0, 1]: re-weight the per-sample "
+        "reconstruction loss toward samples the frozen D scores as fake, "
+        "so R practices most on the codes that actually need correction",
+    )
 
 
 @dataclass(frozen=True)

@@ -33,6 +33,24 @@ import jax
 import jax.numpy as jnp
 
 
+def synthetic_batch(
+    rng: jax.Array, batch: int, size: int
+) -> jnp.ndarray:
+    """On-device synthetic images in [-1, 1]: same smooth-gradient+noise
+    family as pipeline.SyntheticDataset, generated INSIDE the jitted step
+    so benchmarks/tests need zero host->device input transfer (the tunnel
+    link here moves ~16-21 MB/s, which otherwise bottlenecks e2e training
+    far below the compiled step's throughput)."""
+    phase_rng, noise_rng = jax.random.split(rng)
+    yy, xx = jnp.mgrid[0:size, 0:size].astype(jnp.float32) / size
+    phase = jax.random.uniform(phase_rng, (batch, 1, 1, 3))
+    base = 0.5 + 0.5 * jnp.sin(
+        2 * jnp.pi * (yy[None, :, :, None] * phase + xx[None, :, :, None])
+    )
+    noise = jax.random.uniform(noise_rng, base.shape) * 0.1
+    return jnp.clip(base + noise, 0.0, 1.0) * 2.0 - 1.0
+
+
 @functools.partial(
     jax.jit, static_argnames=("crop_size", "image_size", "augment_flip")
 )

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gea.data.ondevice import preprocess_batch
+from gea.data.ondevice import preprocess_batch, synthetic_batch
 from gea.data.pipeline import device_crop_size, make_dataset
 from gea.data.prefetch import device_prefetch
 from gea.parallel import make_mesh
@@ -62,6 +62,16 @@ def dispatch_chunk(cfg) -> int:
     return max(1, getattr(cfg, "steps_per_dispatch", 1))
 
 
+def synthetic_on_device(cfg) -> bool:
+    """True when the synthetic batch is generated inside the jitted step
+    (zero input transfer; see ondevice.synthetic_batch)."""
+    return (
+        cfg.dataset == "synthetic"
+        and getattr(cfg, "synthetic_on_device", False)
+        and getattr(cfg, "on_device_pipeline", True)
+    )
+
+
 def _stack_chunks(batches: Iterator[np.ndarray], k: int) -> Iterator[np.ndarray]:
     """Group k consecutive host batches into one (k, B, ...) stack."""
     while True:
@@ -81,8 +91,21 @@ def input_iterator(cfg, mesh, seed: int) -> Iterator[jax.Array]:
     With steps_per_dispatch=K > 1 each yielded array is a (K, B, ...)
     stack feeding one chunked dispatch (lax.scan over the K steps).
     """
-    ds = make_dataset(cfg, seed=seed)
     k = dispatch_chunk(cfg)
+    if synthetic_on_device(cfg):
+        # The step generates its own data; feed a tiny shardable dummy.
+        n = mesh.devices.size if mesh is not None else 1
+        dummy = (
+            np.zeros((k, n), np.float32) if k > 1 else np.zeros((n,), np.float32)
+        )
+
+        def dummies():
+            while True:
+                yield dummy
+
+        return dummies()
+
+    ds = make_dataset(cfg, seed=seed)
     sharding = (
         batch_sharding(mesh, chunked=k > 1) if mesh is not None else None
     )
@@ -121,6 +144,21 @@ def fuse_input_pipeline(cfg, step_fn, axis_name: str = None):
     compile to ONE XLA program (one dispatch per iteration — halves the
     host->device round trips through remote/tunneled runtimes). Under
     shard_map, pass `axis_name` so each device draws its own flip mask."""
+    if synthetic_on_device(cfg):
+
+        def fused_synth(state, raw, rng):
+            if axis_name is not None:
+                rng = jax.random.fold_in(
+                    rng, jax.lax.axis_index(axis_name)
+                )
+                local_batch = cfg.batch_size // jax.lax.psum(1, axis_name)
+            else:
+                local_batch = cfg.batch_size
+            real = synthetic_batch(rng, local_batch, cfg.image_size)
+            return step_fn(state, real)
+
+        return fused_synth
+
     if getattr(cfg, "on_device_pipeline", True):
 
         def fused(state, raw, rng):
@@ -298,7 +336,15 @@ class TrainLoop:
                 raw = raw[:k_eff]
             self._data_rng, prng = jax.random.split(self._data_rng)
             self.state, metrics = self.step_fn(self.state, raw, prng)
-            self.meter.tick(k_eff)
+            if self.meter.tick(k_eff):
+                # Warmup just ended: drain the async queue (first compile +
+                # warmup execution) before the clock starts, by fetching a
+                # metric to host — block_until_ready is not reliable on
+                # remote runtimes.
+                jax.tree_util.tree_map(
+                    lambda x: np.asarray(jax.device_get(x)), metrics
+                )
+                self.meter.restart_timer()
 
             prev, step_now = it, it + k_eff
             it = step_now

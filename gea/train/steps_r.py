@@ -50,10 +50,32 @@ def build_r_separate_step(
     frozen_g_variables: Any,
     tx_r: optax.GradientTransformation,
     axis_name: Optional[str] = None,
+    discriminator: Optional[Discriminator] = None,
+    frozen_d_variables: Any = None,
 ) -> Callable[[GANTrainState, jnp.ndarray], Tuple[GANTrainState, Metrics]]:
     """step(state, _unused) -> (state, metrics). The second argument is
     accepted (and ignored) so the generic TrainLoop can drive this step;
-    pass a dummy batch."""
+    pass a dummy batch.
+
+    Loss (SURVEY.md §3.4 marks the exact form [M] — 'adversarial via D
+    and/or similarity'):
+      r_mse_weight * ||R(G(z)) - z||^2            code reconstruction
+    + r_adv_weight * BCE(D(G(R(G(z)))), real)     D-feedback (frozen G+D)
+    with optional defective-z mining (r_mine_weight): the reconstruction
+    term re-weights toward samples the frozen D scored as fake. The
+    D-feedback term is what makes the correction IMPROVE sample quality —
+    pure MSE shrinks codes toward the mean (round-1 ablation,
+    docs/RESULTS.md)."""
+    use_adv = (
+        discriminator is not None
+        and frozen_d_variables is not None
+        and cfg.r_adv_weight > 0
+    )
+    use_mine = (
+        discriminator is not None
+        and frozen_d_variables is not None
+        and cfg.r_mine_weight > 0
+    )
 
     def step(state: GANTrainState, _unused: jnp.ndarray):
         batch = cfg.batch_size
@@ -82,6 +104,21 @@ def build_r_separate_step(
         final_img = lax.stop_gradient(images[-1])
         target_code = lax.stop_gradient(zs[-1])
 
+        if use_mine:
+            # Defective-z mining: samples the frozen D already likes need
+            # no correction practice; focus the reconstruction loss on the
+            # defective ones. Weights are detached and mean-1 normalized.
+            d_logits = discriminator.apply(
+                frozen_d_variables, final_img, train=False
+            )
+            defect = 1.0 - jax.nn.sigmoid(d_logits.astype(jnp.float32))
+            defect = defect / (jnp.mean(defect) + 1e-8)
+            mine_w = lax.stop_gradient(
+                (1.0 - cfg.r_mine_weight) + cfg.r_mine_weight * defect
+            )
+        else:
+            mine_w = None
+
         def r_loss_fn(params_r):
             variables = {"params": params_r, **state.extras_r}
             if state.extras_r:
@@ -95,18 +132,42 @@ def build_r_separate_step(
             else:
                 z_pred = reverter.apply(variables, final_img, train=True)
                 new_extras = state.extras_r
-            loss = jnp.mean(jnp.square(z_pred - target_code))
-            return loss, (new_extras, z_pred)
+            per_sample = jnp.mean(
+                jnp.square(z_pred - target_code), axis=-1
+            )
+            if mine_w is not None:
+                per_sample = per_sample * mine_w
+            loss_mse = jnp.mean(per_sample)
+            loss = cfg.r_mse_weight * loss_mse
+            loss_adv = jnp.float32(0.0)
+            if use_adv:
+                # Render the corrected code through the frozen G and score
+                # with the frozen D: gradients flow D -> image -> z_pred
+                # -> R params (G/D params are not differentiated).
+                corr_images, _ = generator.apply(
+                    frozen_g_variables,
+                    z_pred,
+                    train=False,
+                    render_all_stages=True,
+                )
+                logits_corr = discriminator.apply(
+                    frozen_d_variables, corr_images[-1], train=False
+                )
+                loss_adv = losses.g_adv_loss(logits_corr)
+                loss = loss + cfg.r_adv_weight * loss_adv
+            return loss, (new_extras, z_pred, loss_mse, loss_adv)
 
-        (loss_r, (extras_r, z_pred)), grads_r = jax.value_and_grad(
-            r_loss_fn, has_aux=True
-        )(state.params_r)
+        (loss_r, (extras_r, z_pred, loss_mse, loss_adv)), grads_r = (
+            jax.value_and_grad(r_loss_fn, has_aux=True)(state.params_r)
+        )
         grads_r = _maybe_pmean(grads_r, axis_name)
         updates_r, opt_r = tx_r.update(grads_r, state.opt_r, state.params_r)
         params_r = optax.apply_updates(state.params_r, updates_r)
 
         metrics: Metrics = {
             "loss_r": loss_r,
+            "loss_r_mse": loss_mse,
+            "loss_r_adv": loss_adv,
             "correction_norm": jnp.mean(
                 jnp.linalg.norm(z_pred - target_code, axis=-1)
             ),

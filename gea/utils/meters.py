@@ -19,14 +19,27 @@ class ThroughputMeter:
         self._t0: Optional[float] = None
         self._steps_timed = 0
 
-    def tick(self, n: int = 1) -> None:
-        """Record n completed train steps (n > 1 for chunked dispatch)."""
+    def tick(self, n: int = 1) -> bool:
+        """Record n dispatched train steps (n > 1 for chunked dispatch).
+
+        Returns True exactly once — when the warmup threshold is crossed
+        and the timer starts. Dispatch is ASYNC: the caller should then
+        drain the device queue (e.g. fetch a metric scalar, which on
+        remote runtimes is the only reliable sync) and call
+        restart_timer(), otherwise the first compile lands inside the
+        timed window and poisons every cumulative average."""
         prev = self._count
         self._count += n
         if prev < self.warmup_steps <= self._count:
             self._t0 = time.perf_counter()
-        elif prev >= self.warmup_steps:
+            return True
+        if prev >= self.warmup_steps:
             self._steps_timed += n
+        return False
+
+    def restart_timer(self) -> None:
+        """Re-zero the clock after the caller synced in-flight work."""
+        self._t0 = time.perf_counter()
 
     def stats(self, num_chips: int = 1) -> Dict[str, float]:
         if self._t0 is None or self._steps_timed == 0:

@@ -181,3 +181,49 @@ def test_r_iterative_step_batch_norm_stats_update():
             )
         )
         assert moved > 0, f"batch_stats_{name} did not update"
+
+
+def test_r_separate_d_feedback_and_mining():
+    """D-feedback R-separate (VERDICT r1 #4): with the frozen G run's D
+    passed in, the loss gains an adversarial term on G(R(G(z))) and the
+    defective-z mining re-weights reconstruction; both must train stably
+    and the adv term must actually influence the total."""
+    cfg = tiny_cfg(
+        TrainRSeparateConfig, g_path="unused", r_hidden=16, lr=2e-3,
+        r_adv_weight=0.5, r_mine_weight=0.5,
+    )
+    g, d, tx, state = make_state(cfg)
+    frozen_g = {"params": state.params_g, **state.extras_g}
+    frozen_d = {"params": state.params_d, **state.extras_d}
+    reverter = Reverter.from_config(cfg)
+    from gea.cli.train_r_separate import create_r_state
+
+    rstate = create_r_state(cfg, reverter, tx, 0)
+    step_adv = jax.jit(
+        build_r_separate_step(
+            cfg, g, reverter, frozen_g, tx,
+            discriminator=d, frozen_d_variables=frozen_d,
+        )
+    )
+    dummy = jnp.zeros((1,))
+    s, m = step_adv(rstate, dummy)
+    assert float(m["loss_r_adv"]) > 0.0
+    assert np.isfinite(float(m["loss_r"]))
+    # total = mse_weight * mse + adv_weight * adv (mining reweights mse,
+    # so compare the composition identity on the reported terms)
+    np.testing.assert_allclose(
+        float(m["loss_r"]),
+        cfg.r_mse_weight * float(m["loss_r_mse"])
+        + cfg.r_adv_weight * float(m["loss_r_adv"]),
+        rtol=1e-5,
+    )
+    for _ in range(10):
+        s, m = step_adv(s, dummy)
+        assert np.isfinite(float(m["loss_r"]))
+
+    # without D, the adv metric is exactly zero (pure-MSE round-1 path)
+    step_mse = jax.jit(
+        build_r_separate_step(cfg, g, reverter, frozen_g, tx)
+    )
+    _, m0 = step_mse(rstate, dummy)
+    assert float(m0["loss_r_adv"]) == 0.0
