@@ -144,6 +144,14 @@ class GeneratorCore(nn.Module):
     spatial_code: int = 0
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    # Perf-tuning knobs (benchmarks/mfu_probe.py; KERNELS.md):
+    # subpixel_mode: lower ConvT(4,2,1) via the dense subpixel decomposition
+    # for "all" upsample layers or only the "seed"-resolution one (the 5x5
+    # maps where dilated-conv tiling is weakest). rgb_pad: render the final
+    # layer with this many output channels (>=8 fills MXU lanes) and slice
+    # to RGB. Both default off — measured neutral-to-slower on v5e.
+    subpixel_mode: str = "none"
+    rgb_pad: int = 0
 
     @nn.compact
     def __call__(
@@ -178,6 +186,8 @@ class GeneratorCore(nn.Module):
                 stride=2,
                 padding=1,
                 weight_norm=wn,
+                subpixel=self.subpixel_mode == "all"
+                or (self.subpixel_mode == "seed" and i == 1),
                 dtype=self.dtype,
                 name=f"up{i}",
             )(x)
@@ -194,15 +204,19 @@ class GeneratorCore(nn.Module):
                     [x, spatial_noise.astype(x.dtype)], axis=-1
                 )
 
+        rgb_ch = max(3, self.rgb_pad)
         x = ConvTranspose(
-            3,
+            rgb_ch,
             kernel_size=4,
             stride=2,
             padding=1,
             weight_norm=wn,
+            subpixel=self.subpixel_mode == "all",
             dtype=self.dtype,
             name="to_rgb",
         )(x)
+        if rgb_ch > 3:
+            x = x[..., :3]
         # tanh in compute dtype: keeps the (n_stages*B, H, W, 3) stage
         # buffer in bf16 — half the HBM traffic into the discriminator.
         return jnp.tanh(x)
@@ -232,6 +246,8 @@ class GeneratorLIS(nn.Module):
     include_initial_image: bool = True
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    subpixel_mode: str = "none"
+    rgb_pad: int = 0
 
     @classmethod
     def from_config(cls, cfg: ModelConfig, **overrides: Any) -> "GeneratorLIS":
@@ -309,6 +325,8 @@ class GeneratorLIS(nn.Module):
             spatial_code=self.spatial_code,
             dtype=self.dtype,
             use_pallas=self.use_pallas,
+            subpixel_mode=self.subpixel_mode,
+            rgb_pad=self.rgb_pad,
             name="core",
         )
         images = core(stacked, spatial_noise=sn, train=train)

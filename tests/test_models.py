@@ -128,3 +128,32 @@ def test_generator_requires_spatial_noise_when_configured():
     z = jnp.ones((2, 32))
     with pytest.raises(ValueError, match="spatial_noise"):
         g.init(jax.random.PRNGKey(0), z)
+
+
+def test_subpixel_mode_matches_default_lowering():
+    """GeneratorCore(subpixel_mode=...) must be numerically identical to the
+    default dilated-conv lowering for the same params (it is a pure
+    re-lowering of ConvT(4,2,1) — benchmarks/mfu_probe.py knob)."""
+    g0 = small_gen()
+    z = jnp.asarray(np.random.default_rng(0).normal(size=(4, 32)), jnp.float32)
+    variables = g0.init(jax.random.PRNGKey(0), z)
+    ref, _ = g0.apply(variables, z)
+    for mode in ("seed", "all"):
+        gm = small_gen(subpixel_mode=mode)
+        out, _ = gm.apply(variables, z)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+
+def test_rgb_pad_slices_to_three_channels():
+    """rgb_pad renders extra to_rgb channels then slices to RGB: output
+    shape is unchanged; the param tree widens (perf knob, not a checkpoint-
+    compatible option)."""
+    g = small_gen(rgb_pad=16)
+    z = jnp.ones((2, 32))
+    variables = g.init(jax.random.PRNGKey(0), z)
+    images, _ = g.apply(variables, z)
+    assert images.shape == (3, 2, 32, 32, 3)
+    k = variables["params"]["core"]["to_rgb"]["kernel"]
+    assert k.shape[-1] == 16
