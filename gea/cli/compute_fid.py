@@ -141,10 +141,14 @@ def main(argv: Optional[list] = None):
         default=True,
     )
     p.add_argument("--r_step", type=int, default=0)
+    p.add_argument(
+        "--use_ema", action="store_true",
+        help="score the EMA copy of G (runs trained with --g_ema > 0)",
+    )
     a = p.parse_args(argv)
 
     generator, variables, train_cfg = load_generator(
-        a.load_path, step=a.step or None
+        a.load_path, step=a.step or None, use_ema=a.use_ema
     )
     data_cfg = train_cfg.replace(
         dataset=a.dataset,

@@ -22,18 +22,29 @@ from gea.utils.grids import save_stage_gif, save_stage_grids
 
 
 def load_generator(
-    load_path: str, step: Optional[int] = None, restored: Optional[dict] = None
+    load_path: str,
+    step: Optional[int] = None,
+    restored: Optional[dict] = None,
+    use_ema: bool = False,
 ) -> Tuple[GeneratorLIS, Dict[str, Any], TrainGLISConfig]:
     """Rebuild the generator from a run dir's config.json + a checkpoint
     (latest by default, or an explicit --step — GAN quality is
     non-monotone, so snapshot selection matters). This is the cross-tool
     checkpoint contract (SURVEY.md §7 hard part #7) that R-separate also
-    relies on."""
+    relies on. `use_ema` selects the EMA shadow params (--g_ema runs)."""
     train_cfg = TrainGLISConfig.load(os.path.join(load_path, "config.json"))
     generator = GeneratorLIS.from_config(train_cfg)
     if restored is None:
         restored = restore_checkpoint(load_path, target=None, step=step)
-    params_g = restored["params_g"]
+    if use_ema:
+        params_g = restored.get("params_g_ema")
+        if not params_g:
+            raise SystemExit(
+                f"--use_ema: checkpoint under {load_path!r} has no EMA "
+                "params (train with --g_ema > 0)"
+            )
+    else:
+        params_g = restored["params_g"]
     extras_g = restored.get("extras_g") or {}
     variables = {"params": params_g, **extras_g}
     return generator, variables, train_cfg
@@ -61,28 +72,83 @@ def run(cfg: SampleConfig):
     step = cfg.step if cfg.step > 0 else None
     restored = restore_checkpoint(cfg.load_path, target=None, step=step)
     generator, variables, train_cfg = load_generator(
-        cfg.load_path, step=step, restored=restored
+        cfg.load_path,
+        step=step,
+        restored=restored,
+        use_ema=getattr(cfg, "use_ema", False),
     )
     out_dir = cfg.save_path_samples or os.path.join(cfg.load_path, "samples_cli")
     os.makedirs(out_dir, exist_ok=True)
 
     oversample = max(1, cfg.oversample) if cfg.d_filter else 1
     if cfg.d_filter:
+        # --d_filter_step: score with a D snapshot from an earlier step —
+        # a less overfit judge of realism than the final D (the top-k
+        # filter on the final D raises per-sample realism but narrows the
+        # distribution; see docs/RESULTS.md ablations).
+        d_step = cfg.d_filter_step if cfg.d_filter_step > 0 else step
         discriminator, d_vars = load_discriminator(
-            cfg.load_path, step=step, restored=restored
+            cfg.load_path,
+            step=d_step,
+            restored=restored if d_step == step else None,
         )
 
-        @jax.jit
-        def render(z, sn):
-            """Error-avoidance resampling (reference C13): render
-            `oversample`x candidates, score the FINAL LIS stage with the
-            trained discriminator, and keep the best batch — defective
-            z's that even the LIS chain could not rescue are dropped."""
-            images, _ = generator.render(variables, z, spatial_noise=sn)
-            scores = discriminator.apply(d_vars, images[-1], train=False)
-            n_keep = z.shape[0] // oversample
-            _, keep = jax.lax.top_k(scores, n_keep)
-            return images[:, keep]
+        if cfg.d_threshold > 0:
+            # Absolute-quality rejection sampling: keep candidates whose
+            # D score clears the threshold, rendering more batches until
+            # the count fills (reference C13 'error-avoidance resampling'
+            # as true rejection sampling rather than relative top-k).
+            @jax.jit
+            def render_scored(z, sn):
+                images, _ = generator.render(variables, z, spatial_noise=sn)
+                scores = jax.nn.sigmoid(
+                    discriminator.apply(d_vars, images[-1], train=False)
+                )
+                return images, scores
+
+            def render(z, sn, _rng=[jax.random.PRNGKey(cfg.seed + 1)]):
+                n_keep = z.shape[0] // oversample
+                kept, pool, pool_scores = [], [], []
+                for _ in range(20):  # bounded host loop
+                    images, scores = jax.device_get(render_scored(z, sn))
+                    ok = scores >= cfg.d_threshold
+                    kept.append(images[:, ok])
+                    pool.append(images[:, ~ok])
+                    pool_scores.append(scores[~ok])
+                    if sum(k.shape[1] for k in kept) >= n_keep:
+                        break
+                    _rng[0], z_rng, sn_rng = jax.random.split(_rng[0], 3)
+                    z = jax.random.normal(z_rng, z.shape, z.dtype)
+                    if sn is not None:
+                        sn = jax.random.normal(sn_rng, sn.shape, sn.dtype)
+                out = np.concatenate(kept, axis=1)
+                if out.shape[1] < n_keep:
+                    # Threshold too strict for this G: fill the remainder
+                    # with the best-scoring rejects and say so.
+                    rej = np.concatenate(pool, axis=1)
+                    order = np.argsort(np.concatenate(pool_scores))[::-1]
+                    need = n_keep - out.shape[1]
+                    print(
+                        f"[gea] d_threshold={cfg.d_threshold}: only "
+                        f"{out.shape[1]}/{n_keep} candidates cleared it; "
+                        f"filling {need} from the best rejects"
+                    )
+                    out = np.concatenate([out, rej[:, order[:need]]], axis=1)
+                return out[:, :n_keep]
+
+        else:
+
+            @jax.jit
+            def render(z, sn):
+                """Error-avoidance resampling (reference C13): render
+                `oversample`x candidates, score the FINAL LIS stage with the
+                trained discriminator, and keep the best batch — defective
+                z's that even the LIS chain could not rescue are dropped."""
+                images, _ = generator.render(variables, z, spatial_noise=sn)
+                scores = discriminator.apply(d_vars, images[-1], train=False)
+                n_keep = z.shape[0] // oversample
+                _, keep = jax.lax.top_k(scores, n_keep)
+                return images[:, keep]
 
     else:
         render = jax.jit(

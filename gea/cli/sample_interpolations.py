@@ -43,7 +43,9 @@ def slerp(z_a: jnp.ndarray, z_b: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
 
 def run(cfg: SampleInterpolationsConfig):
     step = cfg.step if cfg.step > 0 else None
-    generator, variables, train_cfg = load_generator(cfg.load_path, step=step)
+    generator, variables, train_cfg = load_generator(
+        cfg.load_path, step=step, use_ema=getattr(cfg, "use_ema", False)
+    )
     out_dir = cfg.save_path_samples or os.path.join(cfg.load_path, "interp_cli")
     os.makedirs(out_dir, exist_ok=True)
 

@@ -238,6 +238,19 @@ class TrainGLISConfig(ModelConfig, DataConfig):
         "relative adversarial-loss weight of non-final LIS stages; the final "
         "stage always has weight 1.0 before normalization",
     )
+    gan_loss: str = _flag(
+        "bce",
+        "GAN objective: the reference's BCE/sigmoid, or the SAGAN-style "
+        "hinge loss (beyond-reference option)",
+        choices=("bce", "hinge"),
+    )
+    g_ema: float = _flag(
+        0.0,
+        "decay for an exponential moving average of G's params (e.g. "
+        "0.999); 0 disables. The EMA copy is checkpointed alongside the "
+        "live params and selected at sampling time with --use_ema "
+        "(beyond-reference option)",
+    )
     seed: int = _flag(42, "PRNG seed")
     save_path: str = _flag("runs/glis", "experiment directory for outputs")
     load_path: str = _flag("", "resume from this experiment directory")
@@ -300,6 +313,19 @@ class SampleConfig(ModelConfig, BaseConfig):
     oversample: int = _flag(
         4, "candidate multiplier for --d_filter resampling"
     )
+    d_threshold: float = _flag(
+        0.0,
+        "with --d_filter: absolute-quality rejection sampling — keep only "
+        "candidates whose final-stage D score (sigmoid) is >= this, "
+        "rendering more candidate batches until the count is filled "
+        "(instead of relative top-k); 0 keeps the top-k behavior",
+    )
+    d_filter_step: int = _flag(
+        0,
+        "with --d_filter: score with the discriminator from THIS checkpoint "
+        "step instead of the sampled one — an earlier D is a less "
+        "overfit judge of realism (0 = same step as --step)",
+    )
     step: int = _flag(
         0,
         "checkpoint step to load (0 = latest); GAN quality is non-"
@@ -309,6 +335,11 @@ class SampleConfig(ModelConfig, BaseConfig):
         False,
         "also write an animated GIF cycling through the LIS stages "
         "(the reference README's progression GIFs)",
+    )
+    use_ema: bool = _flag(
+        False,
+        "sample from the EMA copy of G's params (runs trained with "
+        "--g_ema > 0); fails loudly if the checkpoint has no EMA params",
     )
 
 

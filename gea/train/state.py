@@ -36,6 +36,9 @@ class GANTrainState:
     params_r: Any = None
     extras_r: Any = None
     opt_r: Any = None
+    # EMA shadow of params_g (--g_ema > 0); {} when disabled so old
+    # checkpoints stay restorable (an empty subtree has no leaves to read).
+    params_g_ema: Any = None
 
 
 def make_optimizer(lr: float, beta1: float, beta2: float) -> optax.GradientTransformation:
@@ -82,6 +85,11 @@ def create_glis_state(
         params_r={},
         extras_r={},
         opt_r={},
+        params_g_ema=(
+            jax.tree_util.tree_map(jnp.copy, params_g)
+            if getattr(cfg, "g_ema", 0.0) > 0
+            else {}
+        ),
     )
 
 

@@ -79,6 +79,10 @@ def build_glis_train_step(
     """
     weights = stage_weights(cfg)
     n_stages = generator.n_stages
+    d_real_fn, d_fake_fn, g_fn = losses.gan_objective(
+        getattr(cfg, "gan_loss", "bce")
+    )
+    ema_decay = getattr(cfg, "g_ema", 0.0)
 
     def step(state: GANTrainState, real: jnp.ndarray):
         batch = real.shape[0]
@@ -155,8 +159,8 @@ def build_glis_train_step(
                 logits_real = logits_all[:batch]
                 logits_fake = logits_all[batch:]
             logits_fake = logits_fake.reshape(n_stages, batch)
-            loss = losses.d_real_loss(logits_real) + losses.staged_loss(
-                logits_fake, weights, 0.0
+            loss = d_real_fn(logits_real) + losses.staged_apply(
+                d_fake_fn, logits_fake, weights
             )
             return loss, (new_extras, logits_real, logits_fake)
 
@@ -177,7 +181,7 @@ def build_glis_train_step(
                     discriminator, params_d, extras_d, flat, train=True
                 )
                 logits = logits.reshape(n_stages, batch)
-                return losses.staged_loss(logits, weights, 1.0), logits
+                return losses.staged_apply(g_fn, logits, weights), logits
 
             (loss_g, logits_fake_g), d_images = jax.value_and_grad(
                 img_loss_fn, has_aux=True
@@ -200,7 +204,7 @@ def build_glis_train_step(
                     discriminator, params_d, extras_d, flat, train=True
                 )
                 logits = logits.reshape(n_stages, batch)
-                loss = losses.staged_loss(logits, weights, 1.0)
+                loss = losses.staged_apply(g_fn, logits, weights)
                 return loss, (new_extras_g, logits)
 
             (loss_g, (extras_g, logits_fake_g)), grads_g = jax.value_and_grad(
@@ -209,6 +213,16 @@ def build_glis_train_step(
         grads_g = _maybe_pmean(grads_g, axis_name)
         updates_g, opt_g = tx_g.update(grads_g, state.opt_g, state.params_g)
         params_g = optax.apply_updates(state.params_g, updates_g)
+
+        # EMA shadow of G (--g_ema): replicas apply identical updates to
+        # identical params, so the EMA stays replicated with no extra psum.
+        params_g_ema = state.params_g_ema
+        if ema_decay > 0:
+            params_g_ema = jax.tree_util.tree_map(
+                lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+                params_g_ema,
+                params_g,
+            )
 
         metrics: Metrics = {
             "loss_d": loss_d,
@@ -232,6 +246,7 @@ def build_glis_train_step(
             extras_d=extras_d,
             opt_g=opt_g,
             opt_d=opt_d,
+            params_g_ema=params_g_ema,
         )
         return new_state, metrics
 

@@ -113,3 +113,48 @@ def test_compat_shims_exist_and_point_at_cli():
         assert os.path.exists(path), rel
         src = open(path).read()
         assert f"from {module} import main" in src, rel
+
+
+@pytest.mark.slow
+def test_ema_and_hinge_cli_flow(tmp_path):
+    """--g_ema + --gan_loss hinge train end-to-end; --use_ema samples from
+    the EMA shadow and fails loudly on runs without one."""
+    from gea.cli import sample, train_glis
+
+    g_dir = str(tmp_path / "g_ema")
+    train_glis.main(
+        TINY
+        + ["--r_iterations", "1", "--niter", "2", "--vis_interval", "2",
+           "--save_interval", "2", "--save_path", g_dir,
+           "--g_ema", "0.99", "--gan_loss", "hinge"]
+    )
+    out = str(tmp_path / "ema_samples")
+    sample.main(
+        ["--load_path", g_dir, "--save_path_samples", out, "--count", "4",
+         "--batch_size", "4", "--grid_rows", "2", "--use_ema", "true"]
+    )
+    assert any(f.endswith(".png") for f in os.listdir(out))
+
+    # d_filter variants on the same run: threshold rejection sampling and
+    # an earlier-step D snapshot (reference C13 experiment knobs).
+    df_out = str(tmp_path / "df_samples")
+    sample.main(
+        ["--load_path", g_dir, "--save_path_samples", df_out, "--count", "4",
+         "--batch_size", "4", "--grid_rows", "2", "--d_filter", "true",
+         "--oversample", "2", "--d_threshold", "0.5",
+         "--d_filter_step", "2"]
+    )
+    assert any(f.endswith(".png") for f in os.listdir(df_out))
+
+    # A run without --g_ema has no EMA params: --use_ema must fail loudly.
+    g_plain = str(tmp_path / "g_plain")
+    train_glis.main(
+        TINY
+        + ["--r_iterations", "1", "--niter", "1", "--vis_interval", "5",
+           "--save_interval", "1", "--save_path", g_plain]
+    )
+    with pytest.raises(SystemExit, match="no EMA"):
+        sample.main(
+            ["--load_path", g_plain, "--save_path_samples", out,
+             "--count", "4", "--batch_size", "4", "--use_ema", "true"]
+        )

@@ -225,3 +225,71 @@ def test_dp_step_exact_single_device_equivalence():
         jax.tree_util.tree_leaves(jax.device_get(new_1.params_d)),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_hinge_objective_trains():
+    """--gan_loss hinge: one step runs, losses finite, params move, and the
+    hinge D loss matches the closed form on the step's logits scale
+    (beyond-reference option, VERDICT r1 #10)."""
+    cfg = tiny_cfg(gan_loss="hinge")
+    state, step = build(cfg)
+    new_state, metrics = jax.jit(step)(state, fake_real_batch(cfg, 8))
+    assert np.isfinite(float(metrics["loss_d"]))
+    assert np.isfinite(float(metrics["loss_g"]))
+    # Untrained D logits ~ 0 => hinge D loss ~ relu(1-0) + relu(1+0) per
+    # stage-weighted sum ~ 2; BCE would sit near 2*log(2) ~ 1.39.
+    assert 1.6 < float(metrics["loss_d"]) < 2.4
+    l0 = jax.tree_util.tree_leaves(state.params_g)[0]
+    l1 = jax.tree_util.tree_leaves(new_state.params_g)[0]
+    assert not np.allclose(np.asarray(l0), np.asarray(l1))
+
+
+def test_hinge_loss_functions_match_formulas():
+    from gea.train import losses
+
+    lg = jnp.asarray([-2.0, -0.5, 0.0, 0.5, 2.0])
+    np.testing.assert_allclose(
+        float(losses.hinge_d_real(lg)),
+        np.mean(np.maximum(0, 1 - np.asarray(lg))),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        float(losses.hinge_d_fake(lg)),
+        np.mean(np.maximum(0, 1 + np.asarray(lg))),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        float(losses.hinge_g(lg)), -float(np.mean(np.asarray(lg))), rtol=1e-6
+    )
+
+
+def test_g_ema_tracks_params():
+    """--g_ema: the shadow params follow ema*d + p*(1-d) exactly and start
+    as a copy of the init params."""
+    decay = 0.9
+    cfg = tiny_cfg(g_ema=decay)
+    state, step = build(cfg)
+    # EMA starts equal to the live params.
+    for e, p in zip(
+        jax.tree_util.tree_leaves(state.params_g_ema),
+        jax.tree_util.tree_leaves(state.params_g),
+    ):
+        np.testing.assert_array_equal(np.asarray(e), np.asarray(p))
+    s1, _ = jax.jit(step)(state, fake_real_batch(cfg, 8))
+    expect = jax.tree_util.tree_map(
+        lambda e, p: e * decay + p * (1 - decay),
+        state.params_g_ema,
+        s1.params_g,
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params_g_ema),
+        jax.tree_util.tree_leaves(expect),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_g_ema_disabled_stays_empty():
+    cfg = tiny_cfg()
+    state, step = build(cfg)
+    s1, _ = jax.jit(step)(state, fake_real_batch(cfg, 8))
+    assert state.params_g_ema == {} and s1.params_g_ema == {}
