@@ -45,7 +45,11 @@ def run(
     step: int = 0,
 ):
     reverter, r_vars, r_cfg = load_reverter(load_path, step=step or None)
-    generator, g_vars, _g_cfg = load_generator(r_cfg.g_path)
+    # Load the same frozen-G snapshot R was trained against (--g_step is
+    # recorded in the R run's config; 0 = latest).
+    generator, g_vars, _g_cfg = load_generator(
+        r_cfg.g_path, step=getattr(r_cfg, "g_step", 0) or None
+    )
     out_dir = save_path_samples or os.path.join(load_path, "samples_cli")
     os.makedirs(out_dir, exist_ok=True)
 

@@ -130,7 +130,9 @@ def make_vis_fn(cfg, generator, g_variables, reverter, run_dir: str):
 def run(cfg: TrainRSeparateConfig):
     if not cfg.g_path:
         raise SystemExit("--g_path (trained generator run dir) is required")
-    generator, g_variables, g_cfg = load_generator(cfg.g_path)
+    generator, g_variables, g_cfg = load_generator(
+        cfg.g_path, step=cfg.g_step or None
+    )
     cfg = _architecture_from_g(cfg, g_cfg)
     run_dir = prepare_run(cfg)
     mesh = resolve_mesh(cfg)
@@ -153,7 +155,9 @@ def run(cfg: TrainRSeparateConfig):
         from gea.cli.sample import load_discriminator
 
         try:
-            discriminator, d_variables = load_discriminator(cfg.g_path)
+            discriminator, d_variables = load_discriminator(
+                cfg.g_path, step=cfg.g_step or None
+            )
         except (KeyError, FileNotFoundError) as e:
             print(
                 f"[gea] no discriminator in {cfg.g_path!r} ({e}); "

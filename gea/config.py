@@ -414,6 +414,11 @@ class TrainRSeparateConfig(TrainRConfig):
     g_path: str = _flag(
         "", "experiment directory of the trained (frozen) generator"
     )
+    g_step: int = _flag(
+        0,
+        "checkpoint step of the frozen generator (0 = latest); GAN "
+        "quality is non-monotone, so freezing the best snapshot matters",
+    )
     r_hidden: int = _flag(512, "hidden width of the reverser FC head")
     r_adv_weight: float = _flag(
         0.3,

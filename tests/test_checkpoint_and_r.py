@@ -95,6 +95,29 @@ def test_cross_tool_frozen_g_contract(tmp_path):
     assert images.shape == (2, 2, 16, 16, 3)  # stages x batch x H x W x C
 
 
+def test_frozen_g_step_selection(tmp_path):
+    """`--g_step` (R-separate) / `--step` (samplers) pick a specific frozen
+    snapshot, not the latest — GAN quality is non-monotone so the best
+    checkpoint is rarely the last one."""
+    from gea.cli.sample import load_generator
+
+    run = str(tmp_path / "g_run")
+    cfg = tiny_cfg(save_path=run)
+    os.makedirs(run, exist_ok=True)
+    cfg.save(os.path.join(run, "config.json"))
+    _, _, _, state = make_state(cfg)
+    save_checkpoint(run, 3, state)
+    bumped = state.replace(
+        params_g=jax.tree_util.tree_map(lambda p: p + 1.0, state.params_g)
+    )
+    save_checkpoint(run, 9, bumped)
+
+    _, vars_3, _ = load_generator(run, step=3)
+    _, vars_latest, _ = load_generator(run)
+    assert_trees_equal(vars_3["params"], state.params_g)
+    assert_trees_equal(vars_latest["params"], bumped.params_g)
+
+
 def test_r_separate_step(tmp_path):
     cfg = tiny_cfg(TrainRSeparateConfig, g_path="unused", r_hidden=16, lr=2e-3)
     g, d, tx, state = make_state(cfg)

@@ -54,6 +54,21 @@ def test_compute_fid_cli(tiny_run, tiny_folder):
 
 
 @pytest.mark.slow
+def test_compute_fid_cli_d_filter(tiny_run, tiny_folder):
+    """--d_filter scores the D-top-k-filtered distribution (the sampler's
+    error-avoidance resampling as a first-class FID ablation)."""
+    from gea.cli import compute_fid
+
+    result = compute_fid.main(
+        ["--load_path", tiny_run, "--dataset", "folder", "--dataroot",
+         tiny_folder, "--num_samples", "8", "--batch_size", "4",
+         "--extractor", "random", "--d_filter", "--oversample", "2"]
+    )
+    assert np.isfinite(result["value"])
+    assert result["d_filter"] == "oversample=2 d_step=latest"
+
+
+@pytest.mark.slow
 def test_eval_stages_cli(tiny_run, tiny_folder):
     from gea.cli import eval_stages
 
