@@ -23,6 +23,7 @@ import shutil
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
 
 
@@ -87,6 +88,56 @@ def latest_step(run_dir: str) -> Optional[int]:
     return max(steps) if steps else None
 
 
+def _restore_with_schema_evolution(ckptr, path: str, target: Any) -> Any:
+    """Restore `target`'s structure from `path`, tolerating GANTrainState
+    schema drift across releases (e.g. `params_g_ema` added in r2): fields
+    the checkpoint lacks keep a sensible default, fields the target lacks
+    are dropped — old run dirs stay resumable and new runs stay loadable
+    with older flags."""
+    import dataclasses
+
+    if target is None:
+        return ckptr.restore(path)
+    try:
+        return ckptr.restore(path, item=jax.device_get(target))
+    except ValueError:
+        if not dataclasses.is_dataclass(target):
+            raise
+        # Learn the on-disk key set the cheap-to-code way (one extra read;
+        # only legacy/forward checkpoints ever take this path).
+        raw = ckptr.restore(path)
+        fields = {f.name for f in dataclasses.fields(target)}
+        item = {k: getattr(target, k) for k in raw if k in fields}
+        dropped = sorted(set(raw) - fields)
+        missing = sorted(fields - set(raw))
+        tgt_ema = bool(jax.tree_util.tree_leaves(target.params_g_ema))
+        if "params_g_ema" in item:
+            disk_ema = bool(jax.tree_util.tree_leaves(raw["params_g_ema"]))
+            if disk_ema != tgt_ema:
+                # EMA mirrors params_g's structure, so borrow it as the
+                # restore skeleton when the checkpoint has a shadow.
+                item["params_g_ema"] = target.params_g if disk_ema else {}
+        restored = ckptr.restore(path, item=jax.device_get(item))
+        out = target.replace(**restored)
+        res_ema = bool(jax.tree_util.tree_leaves(out.params_g_ema))
+        if tgt_ema and not res_ema:
+            print(
+                "[gea] checkpoint predates --g_ema; initializing the EMA "
+                "shadow from the restored generator params"
+            )
+            out = out.replace(
+                params_g_ema=jax.tree_util.tree_map(jnp.copy, out.params_g)
+            )
+        elif not tgt_ema and res_ema:
+            print("[gea] discarding the checkpoint's EMA shadow (--g_ema 0)")
+            out = out.replace(params_g_ema={})
+        if dropped:
+            print(f"[gea] checkpoint fields not in this build (dropped): {dropped}")
+        if missing:
+            print(f"[gea] fields not in checkpoint (kept at init): {missing}")
+        return out
+
+
 def restore_checkpoint(run_dir: str, target: Any, step: Optional[int] = None) -> Any:
     """Restore into the structure of `target` (an abstract or concrete
     GANTrainState). Picks the latest step when none is given — the
@@ -100,7 +151,7 @@ def restore_checkpoint(run_dir: str, target: Any, step: Optional[int] = None) ->
     path = os.path.join(_ckpt_root(run_dir), str(step))
     ckptr = ocp.PyTreeCheckpointer()
     try:
-        return ckptr.restore(path, item=jax.device_get(target))
+        return _restore_with_schema_evolution(ckptr, path, target)
     except FileNotFoundError:
         # A concurrent writer's retention prune can delete the directory
         # between latest_step() and restore (ADVICE.md r1) — re-pick once.
@@ -110,4 +161,4 @@ def restore_checkpoint(run_dir: str, target: Any, step: Optional[int] = None) ->
         if retry is None or retry == step:
             raise
         path = os.path.join(_ckpt_root(run_dir), str(retry))
-        return ckptr.restore(path, item=jax.device_get(target))
+        return _restore_with_schema_evolution(ckptr, path, target)

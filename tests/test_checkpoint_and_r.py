@@ -95,6 +95,50 @@ def test_cross_tool_frozen_g_contract(tmp_path):
     assert images.shape == (2, 2, 16, 16, 3)  # stages x batch x H x W x C
 
 
+def test_checkpoint_schema_evolution_ema(tmp_path):
+    """Resume stays possible across the --g_ema schema change in every
+    direction: pre-EMA checkpoints (field = {} or missing entirely) into
+    EMA-enabled states and vice versa (orbax structure mismatch otherwise)."""
+    import orbax.checkpoint as ocp
+    import dataclasses
+
+    cfg = tiny_cfg(save_path=str(tmp_path))
+    g, d, tx, old_state = make_state(cfg)  # g_ema=0 -> params_g_ema={}
+    cfg_ema = tiny_cfg(save_path=str(tmp_path), g_ema=0.99)
+    ema_state = create_glis_state(cfg_ema, g, d, tx, tx, 0)
+
+    # pre-EMA checkpoint ({} field) -> EMA-enabled target: EMA initialized
+    # from the restored generator params.
+    run_a = str(tmp_path / "a")
+    save_checkpoint(run_a, 5, old_state)
+    r = restore_checkpoint(run_a, ema_state)
+    assert_trees_equal(r.params_g_ema, old_state.params_g)
+
+    # EMA checkpoint -> non-EMA target: shadow dropped.
+    run_b = str(tmp_path / "b")
+    save_checkpoint(run_b, 5, ema_state)
+    r = restore_checkpoint(run_b, old_state)
+    assert r.params_g_ema == {}
+    assert_trees_equal(r.params_g, ema_state.params_g)
+
+    # checkpoint written before the field existed at all (raw dict without
+    # the key) -> both target flavors restore.
+    raw = {
+        f.name: getattr(jax.device_get(old_state), f.name)
+        for f in dataclasses.fields(old_state)
+    }
+    raw.pop("params_g_ema")
+    run_c = str(tmp_path / "c")
+    ocp.PyTreeCheckpointer().save(
+        os.path.join(run_c, "checkpoints", "5"), raw, force=True
+    )
+    r = restore_checkpoint(run_c, old_state)
+    assert r.params_g_ema == {}
+    r = restore_checkpoint(run_c, ema_state)
+    assert_trees_equal(r.params_g_ema, old_state.params_g)
+    assert_trees_equal(r.opt_g, old_state.opt_g)
+
+
 def test_frozen_g_step_selection(tmp_path):
     """`--g_step` (R-separate) / `--step` (samplers) pick a specific frozen
     snapshot, not the latest — GAN quality is non-monotone so the best
