@@ -169,7 +169,8 @@ def main(argv: Optional[list] = None):
     )
     p.add_argument("--out", default="", help="optional JSON output path")
     p.add_argument(
-        "--step", type=int, default=0, help="checkpoint step (0 = latest)"
+        "--step", type=int, default=0,
+        help="checkpoint step (0 = latest, -1 = best per --fid_interval)",
     )
     p.add_argument(
         "--r_path", default="",

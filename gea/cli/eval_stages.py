@@ -34,7 +34,8 @@ def main(argv: Optional[list] = None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="", help="optional JSON output path")
     p.add_argument(
-        "--step", type=int, default=0, help="checkpoint step (0 = latest)"
+        "--step", type=int, default=0,
+        help="checkpoint step (0 = latest, -1 = best per --fid_interval)",
     )
     p.add_argument(
         "--extractor", default="auto", choices=("auto", "inception", "random")
@@ -47,7 +48,7 @@ def main(argv: Optional[list] = None):
 
     from gea.utils.checkpoint import restore_checkpoint
 
-    step = a.step if a.step > 0 else None
+    step = a.step if a.step != 0 else None  # -1 = best.json
     restored = restore_checkpoint(a.load_path, target=None, step=step)
     generator, g_vars, cfg = load_generator(
         a.load_path, step=step, restored=restored

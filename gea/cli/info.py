@@ -49,6 +49,11 @@ def summarize(load_path: str) -> dict:
     samples = os.path.join(load_path, "samples")
     if os.path.isdir(samples):
         out["num_sample_grids"] = len(os.listdir(samples))
+    from gea.utils.checkpoint import best_record
+
+    best = best_record(load_path)
+    if best is not None:  # --fid_interval tracking (load with --step -1)
+        out["best"] = best
     return out
 
 

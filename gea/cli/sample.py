@@ -69,7 +69,7 @@ def load_discriminator(
 
 
 def run(cfg: SampleConfig):
-    step = cfg.step if cfg.step > 0 else None
+    step = cfg.step if cfg.step != 0 else None  # -1 = best.json
     restored = restore_checkpoint(cfg.load_path, target=None, step=step)
     generator, variables, train_cfg = load_generator(
         cfg.load_path,

@@ -42,7 +42,7 @@ def slerp(z_a: jnp.ndarray, z_b: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
 
 
 def run(cfg: SampleInterpolationsConfig):
-    step = cfg.step if cfg.step > 0 else None
+    step = cfg.step if cfg.step != 0 else None  # -1 = best.json
     generator, variables, train_cfg = load_generator(
         cfg.load_path, step=step, use_ema=getattr(cfg, "use_ema", False)
     )

@@ -72,6 +72,73 @@ def make_vis_fn(cfg, generator, run_dir: str):
     return vis
 
 
+def make_fid_fn(cfg, generator):
+    """In-training proxy-FID of the final LIS stage (--fid_interval):
+    real-side moments from the training dataset once, fake side rendered
+    from the live params at a fixed eval seed each call."""
+    from gea.eval.fid import OnlineFID
+
+    def real_iter():
+        from gea.data.ondevice import preprocess_batch
+        from gea.data.pipeline import device_crop_size, make_dataset
+
+        ds = make_dataset(cfg, seed=cfg.seed ^ 0xF1D)
+        rng = jax.random.PRNGKey(cfg.seed ^ 0xF1D)
+        for raw in ds.batches():
+            rng, prng = jax.random.split(rng)
+            yield np.asarray(
+                jax.device_get(
+                    preprocess_batch(
+                        jnp.asarray(raw),
+                        prng,
+                        crop_size=device_crop_size(cfg),
+                        image_size=cfg.image_size,
+                        augment_flip=False,
+                    )
+                )
+            )
+
+    online = OnlineFID(
+        real_iter(), cfg.image_size, num_samples=cfg.fid_samples,
+        extractor="auto",
+    )
+    print(
+        f"[gea] --fid_interval {cfg.fid_interval}: tracking "
+        f"{online.label} over {cfg.fid_samples} samples"
+    )
+
+    @jax.jit
+    def render_final(params_g, extras_g, z, sn):
+        images, _ = generator.render({"params": params_g, **extras_g}, z, sn)
+        return images[-1]
+
+    def fid_fn(state) -> float:
+        rng = jax.random.PRNGKey(cfg.seed ^ 0xFAD)
+
+        def fakes():
+            nonlocal rng
+            while True:
+                rng, z_rng, sn_rng = jax.random.split(rng, 3)
+                z = jax.random.normal(
+                    z_rng, (cfg.batch_size, cfg.code_size), jnp.float32
+                )
+                sn_shape = generator.spatial_noise_shape(cfg.batch_size)
+                sn = (
+                    jax.random.normal(sn_rng, sn_shape, jnp.float32)
+                    if sn_shape
+                    else None
+                )
+                yield np.asarray(
+                    jax.device_get(
+                        render_final(state.params_g, state.extras_g, z, sn)
+                    )
+                )
+
+        return online.score(fakes())
+
+    return fid_fn
+
+
 def run(cfg: TrainGLISConfig):
     run_dir = prepare_run(cfg)
     mesh = resolve_mesh(cfg)
@@ -112,6 +179,9 @@ def run(cfg: TrainGLISConfig):
 
     data_iter = input_iterator(cfg, mesh, cfg.seed)
     vis = make_vis_fn(cfg, generator, run_dir)
+    fid_fn = (
+        make_fid_fn(cfg, generator) if cfg.fid_interval > 0 else None
+    )
     loop = TrainLoop(
         cfg,
         run_dir,
@@ -120,6 +190,7 @@ def run(cfg: TrainGLISConfig):
         data_iter,
         vis_fn=vis,
         num_chips=num_chips,
+        fid_fn=fid_fn,
     )
     final_state = loop.run(start_step)
     stats = loop.meter.stats(num_chips)

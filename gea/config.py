@@ -238,6 +238,16 @@ class TrainGLISConfig(ModelConfig, DataConfig):
         "relative adversarial-loss weight of non-final LIS stages; the final "
         "stage always has weight 1.0 before normalization",
     )
+    fid_interval: int = _flag(
+        0,
+        "compute proxy-FID of the final LIS stage against the training "
+        "data every N steps, log to <run>/fid.jsonl, and keep the "
+        "best-scoring checkpoint pinned (best.json; load it anywhere "
+        "with --step -1). 0 disables (beyond-reference option)",
+    )
+    fid_samples: int = _flag(
+        1024, "sample count per --fid_interval evaluation (real and fake)"
+    )
     gan_loss: str = _flag(
         "bce",
         "GAN objective: the reference's BCE/sigmoid, or the SAGAN-style "
@@ -328,7 +338,8 @@ class SampleConfig(ModelConfig, BaseConfig):
     )
     step: int = _flag(
         0,
-        "checkpoint step to load (0 = latest); GAN quality is non-"
+        "checkpoint step to load (0 = latest, -1 = best-FID snapshot "
+        "from --fid_interval tracking); GAN quality is non-"
         "monotone, use eval_stages to pick the best retained snapshot",
     )
     save_gif: bool = _flag(

@@ -268,3 +268,29 @@ def compute_fid(
     rs = compute_stats(real_batches, extract, num_samples)
     fs = compute_stats(fake_batches, extract, num_samples)
     return frechet_distance(rs.mean, rs.cov, fs.mean, fs.cov), label
+
+
+class OnlineFID:
+    """Real-side moments computed once, fake side scored repeatedly — the
+    in-training `--fid_interval` tracker (GAN quality is non-monotone, so
+    the trainer itself should know which snapshot is best rather than
+    leaving a post-hoc eval_stages hunt to the user)."""
+
+    def __init__(
+        self,
+        real_batches: Iterable[np.ndarray],
+        image_size: int,
+        num_samples: int = 1024,
+        extractor: str = "auto",
+        inception_weights: str = "",
+    ):
+        self.extract, self.label = make_feature_extractor(
+            image_size, extractor, inception_weights=inception_weights
+        )
+        self.num_samples = num_samples
+        rs = compute_stats(real_batches, self.extract, num_samples)
+        self._mu, self._cov = rs.mean, rs.cov
+
+    def score(self, fake_batches: Iterable[np.ndarray]) -> float:
+        fs = compute_stats(fake_batches, self.extract, self.num_samples)
+        return frechet_distance(self._mu, self._cov, fs.mean, fs.cov)

@@ -20,7 +20,9 @@ from gea.data.prefetch import device_prefetch
 from gea.parallel import make_mesh
 from gea.parallel.dp import batch_sharding
 from gea.utils.checkpoint import (
+    best_record,
     latest_step,
+    record_best_step,
     restore_checkpoint,
     save_checkpoint,
     wait_for_checkpoints,
@@ -271,6 +273,7 @@ class TrainLoop:
         vis_fn: Optional[Callable[[Any, int], None]] = None,
         num_chips: int = 1,
         loss_keys: Tuple[str, ...] = ("loss_d", "loss_g"),
+        fid_fn: Optional[Callable[[Any], float]] = None,
     ):
         self.cfg = cfg
         self.run_dir = run_dir
@@ -280,6 +283,17 @@ class TrainLoop:
         self.vis_fn = vis_fn
         self.num_chips = num_chips
         self.loss_keys = loss_keys
+        # --fid_interval tracking: fid_fn(state) -> proxy-FID of the
+        # current generator; the loop appends to <run>/fid.jsonl, keeps
+        # best.json fresh, and protects the best snapshot from retention
+        # pruning so `--step -1` can always load it.
+        self.fid_fn = fid_fn
+        self._best_fid = float("inf")
+        self._best_step: Optional[int] = None
+        prior = best_record(run_dir) if fid_fn is not None else None
+        if prior is not None:  # resumed run: keep comparing against it
+            self._best_fid = float(prior.get("metric", float("inf")))
+            self._best_step = int(prior["step"])
         self.plotter = LossPlotter()
         self.meter = ThroughputMeter(cfg.batch_size)
         # Multihost: exactly one process owns run_dir side-effects (grids,
@@ -415,9 +429,45 @@ class TrainLoop:
                 self.vis_fn(self.state, step_now)
                 self.plotter.plot(os.path.join(self.run_dir, "plots", "loss.png"))
 
+            saved_for_best = False
+            fid_interval = getattr(cfg, "fid_interval", 0)
             if (
-                crossed(cfg.save_interval) or step_now == cfg.niter
-            ) and self.is_lead:
+                self.fid_fn is not None
+                and fid_interval > 0
+                and (crossed(fid_interval) or step_now == cfg.niter)
+                and self.is_lead
+            ):
+                fid = float(self.fid_fn(self.state))
+                is_best = fid < self._best_fid
+                print(
+                    f"[gea] iter {step_now}: fid={fid:.3f}"
+                    + (" (new best)" if is_best else
+                       f" (best {self._best_fid:.3f} @ {self._best_step})"),
+                    flush=True,
+                )
+                self._fid_log(step_now, fid)
+                if self._tb is not None:
+                    self._tb_write(step_now, {"fid": fid}, {})
+                if is_best:
+                    self._best_fid, self._best_step = fid, step_now
+                    record_best_step(self.run_dir, step_now, fid, "fid")
+                    # The best snapshot must exist on disk even off the
+                    # save_interval cadence — and survive retention.
+                    save_checkpoint(
+                        self.run_dir,
+                        step_now,
+                        self.state,
+                        keep=getattr(cfg, "keep_checkpoints", 0),
+                        async_save=True,
+                        protect=self._best_step,
+                    )
+                    saved_for_best = True
+
+            if (
+                (crossed(cfg.save_interval) or step_now == cfg.niter)
+                and self.is_lead
+                and not saved_for_best
+            ):
                 # Async: serialization overlaps the next train steps
                 # (orbax AsyncCheckpointer); we block only on loop exit.
                 save_checkpoint(
@@ -426,7 +476,14 @@ class TrainLoop:
                     self.state,
                     keep=getattr(cfg, "keep_checkpoints", 0),
                     async_save=True,
+                    protect=self._best_step,
                 )
 
         wait_for_checkpoints()
         return self.state
+
+    def _fid_log(self, step: int, fid: float) -> None:
+        import json
+
+        with open(os.path.join(self.run_dir, "fid.jsonl"), "a") as f:
+            f.write(json.dumps({"step": step, "fid": round(fid, 4)}) + "\n")

@@ -48,11 +48,18 @@ def wait_for_checkpoints() -> None:
 
 
 def save_checkpoint(
-    run_dir: str, step: int, state: Any, keep: int = 0, async_save: bool = False
+    run_dir: str,
+    step: int,
+    state: Any,
+    keep: int = 0,
+    async_save: bool = False,
+    protect: Optional[int] = None,
 ) -> None:
     """Write the checkpoint for `step`; with keep > 0, prune all but the
     newest `keep` step directories afterwards (the reference keeps every
     torch.save — retention is a TPU-native quality-of-life addition).
+    `protect` exempts one extra step from pruning — the best-FID snapshot
+    under `--fid_interval` tracking.
 
     With async_save the device->host gather happens now but serialization
     runs on a background thread (orbax AsyncCheckpointer, SURVEY.md §5
@@ -75,9 +82,41 @@ def save_checkpoint(
             int(d) for d in os.listdir(root) if re.fullmatch(r"\d+", d)
         )
         kept = set(sorted(set(on_disk) | {step})[-keep:])
+        if protect is not None:
+            kept.add(protect)
         for old in on_disk:
             if old != step and old not in kept:
                 shutil.rmtree(os.path.join(root, str(old)), ignore_errors=True)
+
+
+def record_best_step(run_dir: str, step: int, metric: float, label: str) -> None:
+    """Atomically persist the best-so-far snapshot pointer
+    (<run_dir>/best.json) for `--step -1` selection."""
+    import json
+
+    path = os.path.join(os.path.abspath(run_dir), "best.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"step": step, "metric": round(metric, 4), "label": label}, f)
+    os.replace(tmp, path)
+
+
+def best_record(run_dir: str) -> Optional[dict]:
+    """The best-snapshot record written by `--fid_interval` tracking
+    ({"step", "metric", "label"}), or None."""
+    import json
+
+    path = os.path.join(os.path.abspath(run_dir), "best.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def best_step(run_dir: str) -> Optional[int]:
+    """The best-FID step recorded by `--fid_interval` tracking, or None."""
+    rec = best_record(run_dir)
+    return None if rec is None else int(rec["step"])
 
 
 def latest_step(run_dir: str) -> Optional[int]:
@@ -141,8 +180,17 @@ def _restore_with_schema_evolution(ckptr, path: str, target: Any) -> Any:
 def restore_checkpoint(run_dir: str, target: Any, step: Optional[int] = None) -> Any:
     """Restore into the structure of `target` (an abstract or concrete
     GANTrainState). Picks the latest step when none is given — the
-    'auto-resume-from-latest' elastic-lite contract (SURVEY.md §5)."""
+    'auto-resume-from-latest' elastic-lite contract (SURVEY.md §5).
+    step == -1 selects the best-FID snapshot recorded by `--fid_interval`
+    tracking (best.json)."""
     wait_for_checkpoints()  # an in-flight async save may be the latest
+    if step == -1:
+        step = best_step(run_dir)
+        if step is None:
+            raise FileNotFoundError(
+                f"--step -1: no best.json under {run_dir!r} — the run was "
+                "not trained with --fid_interval tracking"
+            )
     auto_pick = step is None
     if auto_pick:
         step = latest_step(run_dir)

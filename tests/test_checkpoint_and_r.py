@@ -95,6 +95,31 @@ def test_cross_tool_frozen_g_contract(tmp_path):
     assert images.shape == (2, 2, 16, 16, 3)  # stages x batch x H x W x C
 
 
+def test_retention_protects_best_step(tmp_path):
+    """`protect=` exempts the best-FID snapshot from keep-N pruning, and
+    best.json round-trips through record/best_step/restore(step=-1)."""
+    from gea.utils.checkpoint import best_step, record_best_step
+
+    cfg = tiny_cfg(save_path=str(tmp_path))
+    _, _, _, state = make_state(cfg)
+    record_best_step(str(tmp_path), 2, 12.34, "fid")
+    for s in (1, 2, 3, 4, 5):
+        save_checkpoint(str(tmp_path), s, state, keep=2, protect=2)
+    root = os.path.join(str(tmp_path), "checkpoints")
+    assert sorted(int(d) for d in os.listdir(root)) == [2, 4, 5]
+    assert best_step(str(tmp_path)) == 2
+    restored = restore_checkpoint(str(tmp_path), state, step=-1)
+    assert int(restored.step) == int(state.step)
+
+
+def test_step_minus_one_without_best_json(tmp_path):
+    cfg = tiny_cfg(save_path=str(tmp_path))
+    _, _, _, state = make_state(cfg)
+    save_checkpoint(str(tmp_path), 1, state)
+    with pytest.raises(FileNotFoundError, match="fid_interval"):
+        restore_checkpoint(str(tmp_path), state, step=-1)
+
+
 def test_checkpoint_schema_evolution_ema(tmp_path):
     """Resume stays possible across the --g_ema schema change in every
     direction: pre-EMA checkpoints (field = {} or missing entirely) into

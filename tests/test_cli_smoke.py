@@ -116,6 +116,43 @@ def test_compat_shims_exist_and_point_at_cli():
 
 
 @pytest.mark.slow
+def test_fid_tracking_cli_flow(tmp_path):
+    """--fid_interval: fid.jsonl + best.json land in the run dir, the best
+    snapshot survives retention, and --step -1 loads it everywhere."""
+    import json
+
+    from gea.cli import info, sample, train_glis
+
+    g_dir = str(tmp_path / "g_fid")
+    train_glis.main(
+        TINY
+        + ["--r_iterations", "1", "--niter", "6", "--vis_interval", "10",
+           "--save_interval", "2", "--keep_checkpoints", "1",
+           "--fid_interval", "2", "--fid_samples", "8",
+           "--save_path", g_dir]
+    )
+    log = [
+        json.loads(line)
+        for line in open(os.path.join(g_dir, "fid.jsonl"))
+    ]
+    assert [e["step"] for e in log] == [2, 4, 6]
+    best = json.load(open(os.path.join(g_dir, "best.json")))
+    assert best["step"] == min(log, key=lambda e: e["fid"])["step"]
+    # The best snapshot survives keep=1 retention pruning.
+    assert os.path.isdir(
+        os.path.join(g_dir, "checkpoints", str(best["step"]))
+    )
+    out = str(tmp_path / "best_samples")
+    sample.main(
+        ["--load_path", g_dir, "--save_path_samples", out, "--count", "4",
+         "--batch_size", "4", "--grid_rows", "2", "--step", "-1"]
+    )
+    assert any(f.endswith(".png") for f in os.listdir(out))
+    summary = info.main(["--load_path", g_dir])
+    assert summary["best"]["step"] == best["step"]
+
+
+@pytest.mark.slow
 def test_ema_and_hinge_cli_flow(tmp_path):
     """--g_ema + --gan_loss hinge train end-to-end; --use_ema samples from
     the EMA shadow and fails loudly on runs without one."""

@@ -67,6 +67,34 @@ def test_compute_fid_separates_distributions(rng):
     assert diff > 10 * max(same, 1e-6)
 
 
+def test_online_fid_matches_compute_fid(rng):
+    """OnlineFID (the --fid_interval tracker) precomputes real moments and
+    scores repeated fake iterators identically to the one-shot path."""
+    from gea.eval.fid import OnlineFID
+
+    def batches(shift, seed, n=6):
+        g = np.random.default_rng(seed)
+        for _ in range(n):
+            yield np.clip(
+                g.normal(shift, 0.3, (64, 32, 32, 3)), -1, 1
+            ).astype(np.float32)
+
+    online = OnlineFID(
+        batches(0.0, 1), image_size=32, num_samples=256, extractor="random"
+    )
+    one_shot, _ = compute_fid(
+        batches(0.0, 1), batches(0.6, 2), image_size=32, num_samples=256,
+        extractor="random",
+    )
+    np.testing.assert_allclose(
+        online.score(batches(0.6, 2)), one_shot, rtol=1e-6
+    )
+    # repeated scoring is stateless on the real side
+    np.testing.assert_allclose(
+        online.score(batches(0.6, 2)), one_shot, rtol=1e-6
+    )
+
+
 @pytest.mark.slow
 def test_inception_weights_path_upgrades_metric(tmp_path):
     """--inception_weights (VERDICT r1 #6): pointing at a local keras h5
