@@ -78,6 +78,68 @@ def make_vis_fn(cfg, generator, reverter, run_dir: str):
     return vis
 
 
+def make_fid_fn(cfg, generator, reverter):
+    """--fid_interval for R-iterative: proxy-FID of the END of the
+    correction chain G(z_T) against the training data, pinning the best
+    joint G/R snapshot (best.json, --step -1)."""
+    from gea.cli.compute_fid import real_batch_iter
+    from gea.eval.fid import OnlineFID
+    from gea.models.reverter import iterative_chain
+
+    data_cfg = cfg  # the trainer's own dataset flags
+    online = OnlineFID(
+        real_batch_iter(data_cfg, cfg.seed ^ 0xF1D),
+        cfg.image_size,
+        num_samples=cfg.fid_samples,
+    )
+    print(
+        f"[gea] --fid_interval {cfg.fid_interval}: tracking chain-end "
+        f"{online.label} over {cfg.fid_samples} samples"
+    )
+
+    @jax.jit
+    def chain_final(params_g, extras_g, params_r, extras_r, z, sn):
+        imgs = iterative_chain(
+            generator,
+            reverter,
+            {"params": params_g, **extras_g},
+            {"params": params_r, **extras_r},
+            z,
+            sn,
+            cfg.r_chain_length,
+        )
+        return imgs[-1]
+
+    def fid_fn(state) -> float:
+        rng = jax.random.PRNGKey(cfg.seed ^ 0xFAD)
+
+        def fakes():
+            nonlocal rng
+            while True:
+                rng, z_rng, sn_rng = jax.random.split(rng, 3)
+                z = jax.random.normal(
+                    z_rng, (cfg.batch_size, cfg.code_size), jnp.float32
+                )
+                sn_shape = generator.spatial_noise_shape(cfg.batch_size)
+                sn = (
+                    jax.random.normal(sn_rng, sn_shape, jnp.float32)
+                    if sn_shape
+                    else None
+                )
+                yield np.asarray(
+                    jax.device_get(
+                        chain_final(
+                            state.params_g, state.extras_g,
+                            state.params_r, state.extras_r, z, sn,
+                        )
+                    )
+                )
+
+        return online.score(fakes())
+
+    return fid_fn
+
+
 def run(cfg: TrainRIterativeConfig):
     run_dir = prepare_run(cfg)
     mesh = resolve_mesh(cfg)
@@ -110,6 +172,9 @@ def run(cfg: TrainRIterativeConfig):
 
     data_iter = input_iterator(cfg, mesh, cfg.seed)
     vis = make_vis_fn(cfg, generator, reverter, run_dir)
+    fid_fn = (
+        make_fid_fn(cfg, generator, reverter) if cfg.fid_interval > 0 else None
+    )
     loop = TrainLoop(
         cfg,
         run_dir,
@@ -119,6 +184,7 @@ def run(cfg: TrainRIterativeConfig):
         vis_fn=vis,
         num_chips=num_chips,
         loss_keys=("loss_d", "loss_g", "loss_r_sim"),
+        fid_fn=fid_fn,
     )
     final_state = loop.run(start_step)
     stats = loop.meter.stats(num_chips)

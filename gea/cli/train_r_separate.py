@@ -127,6 +127,72 @@ def make_vis_fn(cfg, generator, g_variables, reverter, run_dir: str):
     return vis
 
 
+def make_fid_fn(cfg, g_cfg, generator, g_variables, reverter):
+    """Corrected-sample proxy-FID (--fid_interval): score
+    G(blend(z, R(G(z)))) — the sampler-default correction (strength 0.3 +
+    Gaussian-shell renorm) — against the G run's dataset. Directly tracks
+    whether R training is improving the correction, and pins the best R
+    snapshot (best.json, --step -1)."""
+    from gea.cli.compute_fid import real_batch_iter
+    from gea.eval.fid import OnlineFID
+
+    data_cfg = g_cfg.replace(batch_size=cfg.batch_size)
+    online = OnlineFID(
+        real_batch_iter(data_cfg, cfg.seed ^ 0xF1D),
+        cfg.image_size,
+        num_samples=cfg.fid_samples,
+    )
+    print(
+        f"[gea] --fid_interval {cfg.fid_interval}: tracking corrected-"
+        f"sample {online.label} over {cfg.fid_samples} samples"
+    )
+    strength = 0.3  # sample_r_separate defaults
+
+    @jax.jit
+    def corrected_final(params_r, extras_r, z, sn):
+        images, _ = generator.apply(
+            g_variables, z, spatial_noise=sn, train=False,
+            render_all_stages=True,
+        )
+        z_hat = reverter.apply(
+            {"params": params_r, **extras_r}, images[-1], train=False
+        )
+        d = float(z.shape[-1])
+        z2 = (1.0 - strength) * z + strength * z_hat
+        z2 = z2 * jnp.sqrt(d) / jnp.linalg.norm(z2, axis=-1, keepdims=True)
+        images2, _ = generator.apply(
+            g_variables, z2, spatial_noise=sn, train=False,
+            render_all_stages=True,
+        )
+        return images2[-1]
+
+    def fid_fn(state) -> float:
+        rng = jax.random.PRNGKey(cfg.seed ^ 0xFAD)
+
+        def fakes():
+            nonlocal rng
+            while True:
+                rng, z_rng, sn_rng = jax.random.split(rng, 3)
+                z = jax.random.normal(
+                    z_rng, (cfg.batch_size, cfg.code_size), jnp.float32
+                )
+                sn_shape = generator.spatial_noise_shape(cfg.batch_size)
+                sn = (
+                    jax.random.normal(sn_rng, sn_shape, jnp.float32)
+                    if sn_shape
+                    else None
+                )
+                yield np.asarray(
+                    jax.device_get(
+                        corrected_final(state.params_r, state.extras_r, z, sn)
+                    )
+                )
+
+        return online.score(fakes())
+
+    return fid_fn
+
+
 def run(cfg: TrainRSeparateConfig):
     if not cfg.g_path:
         raise SystemExit("--g_path (trained generator run dir) is required")
@@ -184,6 +250,11 @@ def run(cfg: TrainRSeparateConfig):
     step_fn = make_step_dispatcher(cfg, mesh, step_no_input)
 
     vis = make_vis_fn(cfg, generator, g_variables, reverter, run_dir)
+    fid_fn = (
+        make_fid_fn(cfg, g_cfg, generator, g_variables, reverter)
+        if cfg.fid_interval > 0
+        else None
+    )
     loop = TrainLoop(
         cfg,
         run_dir,
@@ -193,6 +264,7 @@ def run(cfg: TrainRSeparateConfig):
         vis_fn=vis,
         num_chips=num_chips,
         loss_keys=("loss_r",),
+        fid_fn=fid_fn,
     )
     final_state = loop.run(start_step)
     stats = loop.meter.stats(num_chips)

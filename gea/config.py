@@ -379,6 +379,16 @@ class TrainRConfig(ModelConfig, DataConfig):
         "weight of the z-similarity penalty ||R(G(z)) - z||^2 keeping the "
         "corrected code close to the original",
     )
+    fid_interval: int = _flag(
+        0,
+        "track proxy-FID every N steps and pin the best checkpoint "
+        "(best.json; --step -1): R-separate scores CORRECTED samples "
+        "G(blend(z, R(G(z)))), R-iterative the end of the correction "
+        "chain. 0 disables (beyond-reference option)",
+    )
+    fid_samples: int = _flag(
+        1024, "sample count per --fid_interval evaluation (real and fake)"
+    )
     seed: int = _flag(42, "PRNG seed")
     save_path: str = _flag("runs/r", "experiment directory for outputs")
     load_path: str = _flag("", "resume this R run from its directory")

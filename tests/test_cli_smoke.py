@@ -151,6 +151,22 @@ def test_fid_tracking_cli_flow(tmp_path):
     summary = info.main(["--load_path", g_dir])
     assert summary["best"]["step"] == best["step"]
 
+    # R-separate tracks CORRECTED-sample FID against the frozen G's
+    # dataset and pins its own best R snapshot.
+    from gea.cli import train_r_separate
+
+    r_dir = str(tmp_path / "r_fid")
+    train_r_separate.main(
+        ["--g_path", g_dir, "--save_path", r_dir, "--niter", "4",
+         "--batch_size", "4", "--vis_interval", "10", "--save_interval", "4",
+         "--log_interval", "2", "--vis_rows", "2", "--num_devices", "1",
+         "--fid_interval", "2", "--fid_samples", "8"]
+    )
+    r_best = json.load(open(os.path.join(r_dir, "best.json")))
+    assert os.path.isdir(
+        os.path.join(r_dir, "checkpoints", str(r_best["step"]))
+    )
+
 
 @pytest.mark.slow
 def test_ema_and_hinge_cli_flow(tmp_path):
