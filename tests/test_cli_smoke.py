@@ -151,6 +151,22 @@ def test_fid_tracking_cli_flow(tmp_path):
     summary = info.main(["--load_path", g_dir])
     assert summary["best"]["step"] == best["step"]
 
+    # Chunked dispatch: fid boundaries fire at chunk end (crossed()),
+    # so K=2 with interval 2 still logs every crossing.
+    g_dir2 = str(tmp_path / "g_fid_chunked")
+    train_glis.main(
+        TINY
+        + ["--r_iterations", "1", "--niter", "4", "--vis_interval", "10",
+           "--save_interval", "4", "--steps_per_dispatch", "2",
+           "--fid_interval", "2", "--fid_samples", "8",
+           "--save_path", g_dir2]
+    )
+    chunked_log = [
+        json.loads(line)
+        for line in open(os.path.join(g_dir2, "fid.jsonl"))
+    ]
+    assert [e["step"] for e in chunked_log] == [2, 4]
+
     # R-separate tracks CORRECTED-sample FID against the frozen G's
     # dataset and pins its own best R snapshot.
     from gea.cli import train_r_separate
