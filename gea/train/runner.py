@@ -288,6 +288,7 @@ class TrainLoop:
         # best.json fresh, and protects the best snapshot from retention
         # pruning so `--step -1` can always load it.
         self.fid_fn = fid_fn
+        self._fid_plotter = LossPlotter()
         self._best_fid = float("inf")
         self._best_step: Optional[int] = None
         prior = best_record(run_dir) if fid_fn is not None else None
@@ -487,3 +488,7 @@ class TrainLoop:
 
         with open(os.path.join(self.run_dir, "fid.jsonl"), "a") as f:
             f.write(json.dumps({"step": step, "fid": round(fid, 4)}) + "\n")
+        self._fid_plotter.add(step, fid=fid)
+        self._fid_plotter.plot(
+            os.path.join(self.run_dir, "plots", "fid.png"), ylabel="proxy-FID"
+        )

@@ -19,7 +19,7 @@ class LossPlotter:
         for k, v in values.items():
             self.series[k].append(float(v))
 
-    def plot(self, path: str) -> None:
+    def plot(self, path: str, ylabel: str = "loss") -> None:
         import matplotlib
 
         matplotlib.use("Agg")
@@ -30,7 +30,7 @@ class LossPlotter:
         for name, values in sorted(self.series.items()):
             ax.plot(self.steps[: len(values)], values, label=name, linewidth=0.9)
         ax.set_xlabel("iteration")
-        ax.set_ylabel("loss")
+        ax.set_ylabel(ylabel)
         ax.legend(loc="upper right")
         ax.grid(True, alpha=0.3)
         fig.tight_layout()

@@ -142,6 +142,7 @@ def test_fid_tracking_cli_flow(tmp_path):
     assert os.path.isdir(
         os.path.join(g_dir, "checkpoints", str(best["step"]))
     )
+    assert os.path.exists(os.path.join(g_dir, "plots", "fid.png"))
     out = str(tmp_path / "best_samples")
     sample.main(
         ["--load_path", g_dir, "--save_path_samples", out, "--count", "4",
