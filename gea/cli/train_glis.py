@@ -179,8 +179,13 @@ def run(cfg: TrainGLISConfig):
 
     data_iter = input_iterator(cfg, mesh, cfg.seed)
     vis = make_vis_fn(cfg, generator, run_dir)
+    # Only the lead process evaluates FID (TrainLoop gates the calls on
+    # is_lead); skip the real-stats precompute on followers entirely.
+    is_lead = not cfg.multihost or jax.process_index() == 0
     fid_fn = (
-        make_fid_fn(cfg, generator) if cfg.fid_interval > 0 else None
+        make_fid_fn(cfg, generator)
+        if cfg.fid_interval > 0 and is_lead
+        else None
     )
     loop = TrainLoop(
         cfg,

@@ -172,8 +172,11 @@ def run(cfg: TrainRIterativeConfig):
 
     data_iter = input_iterator(cfg, mesh, cfg.seed)
     vis = make_vis_fn(cfg, generator, reverter, run_dir)
+    is_lead = not cfg.multihost or jax.process_index() == 0
     fid_fn = (
-        make_fid_fn(cfg, generator, reverter) if cfg.fid_interval > 0 else None
+        make_fid_fn(cfg, generator, reverter)
+        if cfg.fid_interval > 0 and is_lead
+        else None
     )
     loop = TrainLoop(
         cfg,

@@ -250,9 +250,10 @@ def run(cfg: TrainRSeparateConfig):
     step_fn = make_step_dispatcher(cfg, mesh, step_no_input)
 
     vis = make_vis_fn(cfg, generator, g_variables, reverter, run_dir)
+    is_lead = not cfg.multihost or jax.process_index() == 0
     fid_fn = (
         make_fid_fn(cfg, g_cfg, generator, g_variables, reverter)
-        if cfg.fid_interval > 0
+        if cfg.fid_interval > 0 and is_lead
         else None
     )
     loop = TrainLoop(
