@@ -59,23 +59,19 @@ def corrected_batch_iter(
     ablation 'does correction improve FID?' run as a first-class metric
     (VERDICT r1 #4) instead of an offline script."""
     from gea.cli.sample_r_separate import load_reverter
+    from gea.models.reverter import blend_correction
 
     reverter, r_vars, _r_cfg = load_reverter(r_path, step=r_step or None)
 
     @jax.jit
     def chain(z, sn):
-        d = float(z.shape[-1])
         for _ in range(correction_steps):
             images, _ = generator.apply(
                 g_vars, z, spatial_noise=sn, train=False,
                 render_all_stages=True,
             )
             z_hat = reverter.apply(r_vars, images[-1], train=False)
-            z = (1.0 - correction_strength) * z + correction_strength * z_hat
-            if shell_renorm:
-                z = z * jnp.sqrt(d) / jnp.linalg.norm(
-                    z, axis=-1, keepdims=True
-                )
+            z = blend_correction(z, z_hat, correction_strength, shell_renorm)
         images, _ = generator.apply(
             g_vars, z, spatial_noise=sn, train=False, render_all_stages=True
         )
@@ -103,14 +99,18 @@ def filtered_batch_iter(
     seed: int,
     oversample: int = 4,
     d_step: int = 0,
+    restored=None,
 ):
     """Final images after discriminator-filtered resampling (`--d_filter`):
     render oversample*batch candidates, keep the top batch by D score —
     the same selection the sampler applies, scored as a first-class FID
-    ablation (VERDICT r1 weak #7)."""
+    ablation (VERDICT r1 weak #7). Pass `restored` to reuse an
+    already-read checkpoint when D comes from the same step as G."""
     from gea.cli.sample import load_discriminator
 
-    discriminator, d_vars = load_discriminator(load_path, step=d_step or None)
+    discriminator, d_vars = load_discriminator(
+        load_path, step=d_step or None, restored=restored
+    )
 
     @jax.jit
     def render(z, sn):
@@ -201,8 +201,11 @@ def main(argv: Optional[list] = None):
     )
     a = p.parse_args(argv)
 
+    from gea.utils.checkpoint import restore_checkpoint
+
+    restored = restore_checkpoint(a.load_path, target=None, step=a.step or None)
     generator, variables, train_cfg = load_generator(
-        a.load_path, step=a.step or None, use_ema=a.use_ema
+        a.load_path, step=a.step or None, restored=restored, use_ema=a.use_ema
     )
     data_cfg = train_cfg.replace(
         dataset=a.dataset,
@@ -218,10 +221,11 @@ def main(argv: Optional[list] = None):
             r_step=a.r_step,
         )
     elif a.d_filter:
+        d_step = a.d_filter_step or a.step
         fakes = filtered_batch_iter(
             generator, variables, train_cfg, a.load_path, a.batch_size,
-            a.seed, oversample=a.oversample,
-            d_step=a.d_filter_step or a.step,
+            a.seed, oversample=a.oversample, d_step=d_step,
+            restored=restored if d_step == a.step else None,
         )
     else:
         fakes = fake_batch_iter(

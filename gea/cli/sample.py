@@ -108,13 +108,24 @@ def run(cfg: SampleConfig):
 
             def render(z, sn, _rng=[jax.random.PRNGKey(cfg.seed + 1)]):
                 n_keep = z.shape[0] // oversample
-                kept, pool, pool_scores = [], [], []
+                kept = []
+                # Running top-n_keep reject buffer: holding every reject
+                # across 20 rounds would pin O(rounds * batch * stages *
+                # H^2) host memory; the fill path only ever needs the
+                # best n_keep of them.
+                pool, pool_scores = None, None
                 for _ in range(20):  # bounded host loop
                     images, scores = jax.device_get(render_scored(z, sn))
                     ok = scores >= cfg.d_threshold
                     kept.append(images[:, ok])
-                    pool.append(images[:, ~ok])
-                    pool_scores.append(scores[~ok])
+                    rej, rej_scores = images[:, ~ok], scores[~ok]
+                    if pool is None:
+                        pool, pool_scores = rej, rej_scores
+                    else:
+                        pool = np.concatenate([pool, rej], axis=1)
+                        pool_scores = np.concatenate([pool_scores, rej_scores])
+                    top = np.argsort(pool_scores)[::-1][:n_keep]
+                    pool, pool_scores = pool[:, top], pool_scores[top]
                     if sum(k.shape[1] for k in kept) >= n_keep:
                         break
                     _rng[0], z_rng, sn_rng = jax.random.split(_rng[0], 3)
@@ -125,15 +136,13 @@ def run(cfg: SampleConfig):
                 if out.shape[1] < n_keep:
                     # Threshold too strict for this G: fill the remainder
                     # with the best-scoring rejects and say so.
-                    rej = np.concatenate(pool, axis=1)
-                    order = np.argsort(np.concatenate(pool_scores))[::-1]
                     need = n_keep - out.shape[1]
                     print(
                         f"[gea] d_threshold={cfg.d_threshold}: only "
                         f"{out.shape[1]}/{n_keep} candidates cleared it; "
                         f"filling {need} from the best rejects"
                     )
-                    out = np.concatenate([out, rej[:, order[:need]]], axis=1)
+                    out = np.concatenate([out, pool[:, :need]], axis=1)
                 return out[:, :n_keep]
 
         else:

@@ -53,10 +53,11 @@ def run(
     out_dir = save_path_samples or os.path.join(load_path, "samples_cli")
     os.makedirs(out_dir, exist_ok=True)
 
+    from gea.models.reverter import blend_correction
+
     @jax.jit
     def correction_chain(z, sn):
         imgs = []
-        d = float(z.shape[-1])
         for _ in range(correction_steps + 1):
             images, _ = generator.apply(
                 g_vars, z, spatial_noise=sn, train=False, render_all_stages=True
@@ -64,14 +65,11 @@ def run(
             img = images[-1]
             imgs.append(img)
             z_hat = reverter.apply(r_vars, img, train=False)
-            # Similarity-constrained inference: blend toward the original
-            # code (the lambda_r intent at sampling time) and project back
-            # onto the Gaussian shell — a pure MSE-trained R shrinks codes
-            # toward the mean, which degrades renders (measured: FID 56 ->
-            # 15 with blend+renorm on the round-1 demo run).
-            z = (1.0 - correction_strength) * z + correction_strength * z_hat
-            if shell_renorm:
-                z = z * jnp.sqrt(d) / jnp.linalg.norm(z, axis=-1, keepdims=True)
+            # Similarity-constrained inference (blend + shell renorm) — a
+            # pure MSE-trained R shrinks codes toward the mean, which
+            # degrades renders (measured: FID 56 -> 15 with blend+renorm
+            # on the round-1 demo run).
+            z = blend_correction(z, z_hat, correction_strength, shell_renorm)
         return jnp.stack(imgs)
 
     rng = jax.random.PRNGKey(seed)

@@ -76,30 +76,16 @@ def make_fid_fn(cfg, generator):
     """In-training proxy-FID of the final LIS stage (--fid_interval):
     real-side moments from the training dataset once, fake side rendered
     from the live params at a fixed eval seed each call."""
+    # Same real-side iterator as the offline evaluator (compute_fid) —
+    # in-training scores and post-hoc scores must see the identical real
+    # distribution or best-snapshot pinning silently drifts.
+    from gea.cli.compute_fid import real_batch_iter
     from gea.eval.fid import OnlineFID
 
-    def real_iter():
-        from gea.data.ondevice import preprocess_batch
-        from gea.data.pipeline import device_crop_size, make_dataset
-
-        ds = make_dataset(cfg, seed=cfg.seed ^ 0xF1D)
-        rng = jax.random.PRNGKey(cfg.seed ^ 0xF1D)
-        for raw in ds.batches():
-            rng, prng = jax.random.split(rng)
-            yield np.asarray(
-                jax.device_get(
-                    preprocess_batch(
-                        jnp.asarray(raw),
-                        prng,
-                        crop_size=device_crop_size(cfg),
-                        image_size=cfg.image_size,
-                        augment_flip=False,
-                    )
-                )
-            )
-
     online = OnlineFID(
-        real_iter(), cfg.image_size, num_samples=cfg.fid_samples,
+        real_batch_iter(cfg, cfg.seed ^ 0xF1D),
+        cfg.image_size,
+        num_samples=cfg.fid_samples,
         extractor="auto",
     )
     print(
@@ -112,8 +98,14 @@ def make_fid_fn(cfg, generator):
         images, _ = generator.render({"params": params_g, **extras_g}, z, sn)
         return images[-1]
 
+    # With --g_ema, score the EMA shadow: --use_ema sampling is the
+    # artifact the user ships, so best.json must pin the step where THAT
+    # copy scores best, not the live params.
+    score_ema = getattr(cfg, "g_ema", 0.0) > 0
+
     def fid_fn(state) -> float:
         rng = jax.random.PRNGKey(cfg.seed ^ 0xFAD)
+        params = state.params_g_ema if score_ema else state.params_g
 
         def fakes():
             nonlocal rng
@@ -130,7 +122,7 @@ def make_fid_fn(cfg, generator):
                 )
                 yield np.asarray(
                     jax.device_get(
-                        render_final(state.params_g, state.extras_g, z, sn)
+                        render_final(params, state.extras_g, z, sn)
                     )
                 )
 

@@ -144,9 +144,10 @@ def make_fid_fn(cfg, g_cfg, generator, g_variables, reverter):
     )
     print(
         f"[gea] --fid_interval {cfg.fid_interval}: tracking corrected-"
-        f"sample {online.label} over {cfg.fid_samples} samples"
+        f"sample {online.label} over {cfg.fid_samples} samples "
+        f"(strength {cfg.fid_correction_strength})"
     )
-    strength = 0.3  # sample_r_separate defaults
+    from gea.models.reverter import blend_correction
 
     @jax.jit
     def corrected_final(params_r, extras_r, z, sn):
@@ -157,9 +158,7 @@ def make_fid_fn(cfg, g_cfg, generator, g_variables, reverter):
         z_hat = reverter.apply(
             {"params": params_r, **extras_r}, images[-1], train=False
         )
-        d = float(z.shape[-1])
-        z2 = (1.0 - strength) * z + strength * z_hat
-        z2 = z2 * jnp.sqrt(d) / jnp.linalg.norm(z2, axis=-1, keepdims=True)
+        z2 = blend_correction(z, z_hat, cfg.fid_correction_strength)
         images2, _ = generator.apply(
             g_variables, z2, spatial_noise=sn, train=False,
             render_all_stages=True,

@@ -458,6 +458,11 @@ class TrainRSeparateConfig(TrainRConfig):
         "reconstruction loss toward samples the frozen D scores as fake, "
         "so R practices most on the codes that actually need correction",
     )
+    fid_correction_strength: float = _flag(
+        0.3,
+        "blend strength of the correction scored by --fid_interval "
+        "tracking (match the --correction_strength you will sample with)",
+    )
 
 
 @dataclass(frozen=True)

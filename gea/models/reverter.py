@@ -90,6 +90,25 @@ def apply_correction(z: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
     return z + delta
 
 
+def blend_correction(
+    z: jnp.ndarray,
+    z_hat: jnp.ndarray,
+    strength: float = 0.3,
+    shell_renorm: bool = True,
+) -> jnp.ndarray:
+    """R-separate inference correction: blend the absolute corrected code
+    toward the original (the lambda_r similarity intent at sampling time)
+    and project back onto the Gaussian shell ||z|| = sqrt(d). The ONE
+    definition shared by the R-separate sampler, compute_fid's corrected
+    scorer, and the trainer's --fid_interval tracker — the correction
+    math cannot drift between them."""
+    z2 = (1.0 - strength) * z + strength * z_hat
+    if shell_renorm:
+        d = float(z.shape[-1])
+        z2 = z2 * jnp.sqrt(d) / jnp.linalg.norm(z2, axis=-1, keepdims=True)
+    return z2
+
+
 def iterative_chain(
     generator, reverter, g_vars, r_vars, z0, sn, links: int
 ) -> jnp.ndarray:

@@ -450,10 +450,11 @@ class TrainLoop:
                 if self._tb is not None:
                     self._tb_write(step_now, {"fid": fid}, {})
                 if is_best:
-                    self._best_fid, self._best_step = fid, step_now
-                    record_best_step(self.run_dir, step_now, fid, "fid")
-                    # The best snapshot must exist on disk even off the
-                    # save_interval cadence — and survive retention.
+                    # Durability order: save the new best (old best stays
+                    # protected from the prune), COMMIT it, and only then
+                    # point best.json at it — a crash mid-save must never
+                    # leave best.json referencing a checkpoint that does
+                    # not exist while the previous best is already pruned.
                     save_checkpoint(
                         self.run_dir,
                         step_now,
@@ -462,6 +463,9 @@ class TrainLoop:
                         async_save=True,
                         protect=self._best_step,
                     )
+                    wait_for_checkpoints()
+                    self._best_fid, self._best_step = fid, step_now
+                    record_best_step(self.run_dir, step_now, fid, "fid")
                     saved_for_best = True
 
             if (

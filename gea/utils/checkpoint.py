@@ -149,7 +149,13 @@ def _restore_with_schema_evolution(ckptr, path: str, target: Any) -> Any:
         item = {k: getattr(target, k) for k in raw if k in fields}
         dropped = sorted(set(raw) - fields)
         missing = sorted(fields - set(raw))
-        tgt_ema = bool(jax.tree_util.tree_leaves(target.params_g_ema))
+        # EMA-specific adaptation only applies to states that carry the
+        # field (GANTrainState); other dataclass targets get the generic
+        # field-intersection restore alone.
+        has_ema_field = "params_g_ema" in fields
+        tgt_ema = has_ema_field and bool(
+            jax.tree_util.tree_leaves(target.params_g_ema)
+        )
         if "params_g_ema" in item:
             disk_ema = bool(jax.tree_util.tree_leaves(raw["params_g_ema"]))
             if disk_ema != tgt_ema:
@@ -158,7 +164,9 @@ def _restore_with_schema_evolution(ckptr, path: str, target: Any) -> Any:
                 item["params_g_ema"] = target.params_g if disk_ema else {}
         restored = ckptr.restore(path, item=jax.device_get(item))
         out = target.replace(**restored)
-        res_ema = bool(jax.tree_util.tree_leaves(out.params_g_ema))
+        res_ema = has_ema_field and bool(
+            jax.tree_util.tree_leaves(out.params_g_ema)
+        )
         if tgt_ema and not res_ema:
             print(
                 "[gea] checkpoint predates --g_ema; initializing the EMA "
