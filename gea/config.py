@@ -437,7 +437,8 @@ class TrainRSeparateConfig(TrainRConfig):
     )
     g_step: int = _flag(
         0,
-        "checkpoint step of the frozen generator (0 = latest); GAN "
+        "checkpoint step of the frozen generator (0 = latest, -1 = the "
+        "best-FID snapshot pinned by a --fid_interval G run); GAN "
         "quality is non-monotone, so freezing the best snapshot matters",
     )
     r_hidden: int = _flag(512, "hidden width of the reverser FC head")
