@@ -85,8 +85,22 @@ def run(cfg: SampleConfig):
         # --d_filter_step: score with a D snapshot from an earlier step —
         # a less overfit judge of realism than the final D (the top-k
         # filter on the final D raises per-sample realism but narrows the
-        # distribution; see docs/RESULTS.md ablations).
-        d_step = cfg.d_filter_step if cfg.d_filter_step > 0 else step
+        # distribution; see docs/RESULTS.md ablations). `!= 0` so that -1
+        # selects the best.json snapshot, matching the --step convention
+        # and compute_fid's `a.d_filter_step or a.step` (ADVICE.md r2).
+        d_step = cfg.d_filter_step if cfg.d_filter_step != 0 else step
+        if cfg.d_threshold > 0 and getattr(train_cfg, "gan_loss", "bce") != "bce":
+            # Hinge-trained discriminators emit uncalibrated margins, so
+            # sigmoid(logit) >= threshold has no probability semantics
+            # (top-k ranking is unaffected) — warn instead of silently
+            # applying a miscalibrated cutoff (ADVICE.md r2).
+            print(
+                f"[gea] warning: this run was trained with --gan_loss "
+                f"{train_cfg.gan_loss}; --d_threshold compares "
+                "sigmoid(margin) against an absolute cutoff, which is "
+                "uncalibrated for non-BCE objectives — treat the "
+                "threshold as a unitless knob, not a probability"
+            )
         discriminator, d_vars = load_discriminator(
             cfg.load_path,
             step=d_step,

@@ -328,13 +328,16 @@ class SampleConfig(ModelConfig, BaseConfig):
         "with --d_filter: absolute-quality rejection sampling — keep only "
         "candidates whose final-stage D score (sigmoid) is >= this, "
         "rendering more candidate batches until the count is filled "
-        "(instead of relative top-k); 0 keeps the top-k behavior",
+        "(instead of relative top-k); 0 keeps the top-k behavior. Note: "
+        "the probability reading only holds for --gan_loss bce runs; "
+        "hinge margins are uncalibrated (the sampler warns)",
     )
     d_filter_step: int = _flag(
         0,
         "with --d_filter: score with the discriminator from THIS checkpoint "
         "step instead of the sampled one — an earlier D is a less "
-        "overfit judge of realism (0 = same step as --step)",
+        "overfit judge of realism (0 = same step as --step, -1 = the "
+        "best-FID snapshot from best.json)",
     )
     step: int = _flag(
         0,

@@ -291,10 +291,10 @@ class TrainLoop:
         self._fid_plotter = LossPlotter()
         self._best_fid = float("inf")
         self._best_step: Optional[int] = None
-        prior = best_record(run_dir) if fid_fn is not None else None
-        if prior is not None:  # resumed run: keep comparing against it
-            self._best_fid = float(prior.get("metric", float("inf")))
-            self._best_step = int(prior["step"])
+        # A best snapshot saved asynchronously but whose best.json pointer
+        # is not yet durable: (step, fid). Committed at the next point the
+        # underlying checkpoint is known to have finished serializing.
+        self._pending_best: Optional[Tuple[int, float]] = None
         self.plotter = LossPlotter()
         self.meter = ThroughputMeter(cfg.batch_size)
         # Multihost: exactly one process owns run_dir side-effects (grids,
@@ -337,8 +337,27 @@ class TrainLoop:
                 jax.profiler.stop_trace()
                 self._profiling = False
 
+    def _commit_pending_best(self) -> None:
+        """Point best.json at the last best-save. Call ONLY after the save
+        is known durable (orbax AsyncCheckpointer serializes saves, so any
+        later save_checkpoint/wait_for_checkpoints implies commit) — a
+        crash must never leave best.json referencing a missing dir."""
+        if self._pending_best is not None:
+            step, fid = self._pending_best
+            record_best_step(self.run_dir, step, fid, "fid")
+            self._pending_best = None
+
     def _run(self, start_step: int) -> Any:
         cfg = self.cfg
+        if self.fid_fn is not None and (cfg.load_path or start_step > 0):
+            # Resumed run: keep comparing against the recorded best. A
+            # fresh step-0 run into a reused save_path must NOT adopt a
+            # stale best.json — it would permanently suppress pinning and
+            # leave --step -1 pointing at the old run (ADVICE.md r2).
+            prior = best_record(self.run_dir)
+            if prior is not None:
+                self._best_fid = float(prior.get("metric", float("inf")))
+                self._best_step = int(prior["step"])
         self._profiling = False
         k_cfg = dispatch_chunk(cfg)
         it = start_step
@@ -450,11 +469,16 @@ class TrainLoop:
                 if self._tb is not None:
                     self._tb_write(step_now, {"fid": fid}, {})
                 if is_best:
-                    # Durability order: save the new best (old best stays
-                    # protected from the prune), COMMIT it, and only then
-                    # point best.json at it — a crash mid-save must never
-                    # leave best.json referencing a checkpoint that does
-                    # not exist while the previous best is already pruned.
+                    # Durability order without stalling the step loop
+                    # (ADVICE.md r2: early in training FID improves on
+                    # nearly every eval, so a blocking wait here would
+                    # serialize every fid_interval): the save runs async;
+                    # best.json is only pointed at it at the NEXT moment
+                    # the save is known committed (save_checkpoint waits
+                    # for the previous in-flight save before starting a
+                    # new one, and the loop blocks on exit) — a crash
+                    # mid-save leaves best.json at the previous durable
+                    # best, never at a missing directory.
                     save_checkpoint(
                         self.run_dir,
                         step_now,
@@ -463,9 +487,9 @@ class TrainLoop:
                         async_save=True,
                         protect=self._best_step,
                     )
-                    wait_for_checkpoints()
+                    self._commit_pending_best()  # prior save now durable
                     self._best_fid, self._best_step = fid, step_now
-                    record_best_step(self.run_dir, step_now, fid, "fid")
+                    self._pending_best = (step_now, fid)
                     saved_for_best = True
 
             if (
@@ -483,8 +507,10 @@ class TrainLoop:
                     async_save=True,
                     protect=self._best_step,
                 )
+                self._commit_pending_best()  # prior best-save now durable
 
         wait_for_checkpoints()
+        self._commit_pending_best()
         return self.state
 
     def _fid_log(self, step: int, fid: float) -> None:

@@ -108,6 +108,54 @@ def test_checked_wrapper_raises_on_nan():
         fn(jnp.asarray(-1.0))
 
 
+def test_fresh_run_ignores_stale_best_json(tmp_path):
+    """A fresh step-0 run into a reused save_path must not adopt a stale
+    best.json (its unbeatable metric would suppress best pinning forever,
+    ADVICE.md r2) — and the async best-save path must still commit
+    best.json by loop exit."""
+    import json
+
+    cfg = TrainGLISConfig(
+        dataset="synthetic",
+        image_size=16,
+        batch_size=4,
+        niter=6,
+        log_interval=2,
+        vis_interval=100,
+        save_interval=100,
+        fid_interval=2,
+        save_path=str(tmp_path),
+    )
+    run_dir = prepare_run(cfg)
+    # Stale record from an earlier run with an unbeatably good metric.
+    with open(os.path.join(run_dir, "best.json"), "w") as f:
+        json.dump({"step": 999, "metric": 0.0001, "label": "fid"}, f)
+
+    def step_fn(state, batch, rng):
+        new = StubState(step=state.step + 1, params_g=state.params_g + 1.0)
+        return new, {"loss_d": jnp.float32(1.0), "loss_g": jnp.float32(0.5)}
+
+    def data_iter():
+        while True:
+            yield np.zeros((4, 16, 16, 3), np.float32)
+
+    fids = iter([30.0, 20.0, 25.0])
+    loop = TrainLoop(
+        cfg,
+        run_dir,
+        StubState(step=jnp.zeros((), jnp.int32), params_g=jnp.zeros(())),
+        step_fn,
+        data_iter(),
+        fid_fn=lambda state: next(fids),
+    )
+    loop.run(0)
+    best = json.load(open(os.path.join(run_dir, "best.json")))
+    assert best["step"] == 4  # fid=20.0 at step 4, not the stale 999
+    assert abs(best["metric"] - 20.0) < 1e-6
+    # The pinned best checkpoint itself is durable.
+    assert os.path.isdir(os.path.join(run_dir, "checkpoints", "4"))
+
+
 # ------------------------------------------------------------- chunked loop
 
 
