@@ -1,0 +1,126 @@
+"""Interleaved A/B benchmark of two train-step configurations.
+
+On a shared/tunneled TPU host, ambient load drifts on minute timescales —
+back-to-back blocks (all A, then all B) confound config effects with drift.
+This probe alternates short timing reps A,B,A,B,... so both configs sample
+the same ambient conditions, then reports per-config medians and the
+per-pair deltas (the pairwise statistic is drift-immune).
+
+    python benchmarks/ab_step.py --b pallas        # XLA vs Pallas kernels
+    python benchmarks/ab_step.py --b two_forward   # shared-vjp vs 2-forward
+
+Used for DESIGN.md §4 default-follows-measurement decisions
+(benchmarks/KERNELS.md records the outcomes).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build(use_pallas: bool, share_g_forward, batch: int, image_size: int):
+    from gea.config import TrainGLISConfig
+    from gea.models import Discriminator, GeneratorLIS
+    from gea.train.state import create_glis_state, make_optimizer
+    from gea.train.steps import build_glis_train_step
+
+    cfg = TrainGLISConfig(
+        image_size=image_size,
+        code_size=256,
+        r_iterations=3,
+        norm="weight",
+        num_features=64,
+        max_features=512,
+        dtype="bfloat16",
+        dataset="synthetic",
+        batch_size=batch,
+        use_pallas=use_pallas,
+    )
+    g = GeneratorLIS.from_config(cfg)
+    d = Discriminator.from_config(cfg)
+    tx_g = make_optimizer(cfg.lr, cfg.beta1, cfg.beta2)
+    tx_d = make_optimizer(cfg.lr, cfg.beta1, cfg.beta2)
+    state = create_glis_state(cfg, g, d, tx_g, tx_d, 0)
+    step = jax.jit(
+        build_glis_train_step(
+            cfg, g, d, tx_g, tx_d, share_g_forward=share_g_forward
+        ),
+        donate_argnums=0,
+    )
+    return state, step
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--b", default="pallas", choices=("pallas", "two_forward"))
+    p.add_argument("--pairs", type=int, default=8)
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--image_size", type=int, default=80)
+    a = p.parse_args()
+
+    real = jax.device_put(
+        jnp.asarray(
+            np.random.default_rng(0)
+            .uniform(-1, 1, (a.batch, a.image_size, a.image_size, 3))
+            .astype(np.float32)
+        )
+    )
+
+    state_a, step_a = build(False, None, a.batch, a.image_size)
+    if a.b == "pallas":
+        state_b, step_b = build(True, None, a.batch, a.image_size)
+    else:
+        state_b, step_b = build(False, False, a.batch, a.image_size)
+
+    def rep(state, step):
+        t0 = time.perf_counter()
+        for _ in range(a.steps):
+            state, metrics = step(state, real)
+        float(metrics["loss_d"])  # host sync (tunneled runtime)
+        return state, a.batch * a.steps / (time.perf_counter() - t0)
+
+    # Warmup both (compile + first executions).
+    for _ in range(3):
+        state_a, _ = rep(state_a, step_a)
+        state_b, _ = rep(state_b, step_b)
+
+    ra, rb = [], []
+    for _ in range(a.pairs):
+        state_a, va = rep(state_a, step_a)
+        state_b, vb = rep(state_b, step_b)
+        ra.append(va)
+        rb.append(vb)
+
+    deltas = [100.0 * (y - x) / x for x, y in zip(ra, rb)]
+    print(
+        json.dumps(
+            {
+                "a": "xla/default",
+                "b": a.b,
+                "a_median": round(statistics.median(ra), 2),
+                "b_median": round(statistics.median(rb), 2),
+                "a_reps": [round(v, 2) for v in ra],
+                "b_reps": [round(v, 2) for v in rb],
+                "pairwise_delta_pct": [round(d, 2) for d in deltas],
+                "median_delta_pct": round(statistics.median(deltas), 2),
+                "b_wins_pairs": sum(d > 0 for d in deltas),
+                "pairs": a.pairs,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -285,7 +285,11 @@ class TrainGLISConfig(ModelConfig, DataConfig):
         "", "if set, write a jax.profiler trace for steps 10..15 here"
     )
     use_pallas: bool = _flag(
-        True, "use fused Pallas kernels on TPU (falls back to XLA elsewhere)"
+        False,
+        "use the fused Pallas LIS/TPReLU kernels on TPU (falls back to XLA "
+        "elsewhere). Default OFF: the pure-XLA lowering measured ~5% faster "
+        "on v5e for the flagship config (benchmarks/KERNELS.md) — the "
+        "shipped default follows the measurement (DESIGN.md §4)",
     )
     tensorboard: bool = _flag(
         False, "also write scalars to <save_path>/tb via tf.summary"
@@ -408,7 +412,11 @@ class TrainRConfig(ModelConfig, DataConfig):
         "fuse K train steps into one XLA dispatch (lax.scan); "
         "log/vis/save cadences fire at chunk boundaries",
     )
-    use_pallas: bool = _flag(True, "use fused Pallas kernels on TPU")
+    use_pallas: bool = _flag(
+        False,
+        "use fused Pallas kernels on TPU (default OFF: XLA measured "
+        "faster, benchmarks/KERNELS.md)",
+    )
     profile_dir: str = _flag(
         "", "if set, write a jax.profiler trace for steps 10..15 here"
     )

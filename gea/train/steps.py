@@ -65,6 +65,7 @@ def build_glis_train_step(
     tx_d: optax.GradientTransformation,
     axis_name: Optional[str] = None,
     fold_device_noise: bool = True,
+    share_g_forward: Optional[bool] = None,
 ) -> Callable[[GANTrainState, jnp.ndarray], Tuple[GANTrainState, Metrics]]:
     """Returns step(state, real_images) -> (state, metrics).
 
@@ -76,6 +77,12 @@ def build_glis_train_step(
     (test-only: enables exact single-device-equivalence checks of the
     shard_map/psum path; never use for training — replicas would explore
     the same codes).
+
+    `share_g_forward` overrides the shared-G-forward (vjp pullback)
+    optimization: None = auto (shared unless batch norm mutates state),
+    False = always re-run G's forward in the G step (the pre-r2 two-forward
+    structure — kept selectable so the two lowerings can be benchmarked
+    against each other; see benchmarks/KERNELS.md).
     """
     weights = stage_weights(cfg)
     n_stages = generator.n_stages
@@ -106,9 +113,12 @@ def build_glis_train_step(
         # jax.vjp captures the forward residuals so the G-step gradient
         # is a pure pullback — no second G forward. (Batch-norm G keeps
         # the two-forward path because its forward mutates state.)
-        share_g_forward = not state.extras_g
+        share = (
+            (not state.extras_g) if share_g_forward is None
+            else (share_g_forward and not state.extras_g)
+        )
 
-        if share_g_forward:
+        if share:
 
             def g_images(params_g):
                 (images, _zs), _ = _apply_model(
@@ -172,7 +182,7 @@ def build_glis_train_step(
         params_d = optax.apply_updates(state.params_d, updates_d)
 
         # ------------------------------------------------ G step (vs updated D)
-        if share_g_forward:
+        if share:
             # d(loss_g)/d(images) against the UPDATED discriminator, then
             # pull back through the saved G forward.
             def img_loss_fn(images):

@@ -293,3 +293,24 @@ def test_g_ema_disabled_stays_empty():
     state, step = build(cfg)
     s1, _ = jax.jit(step)(state, fake_real_batch(cfg, 8))
     assert state.params_g_ema == {} and s1.params_g_ema == {}
+
+
+def test_two_forward_matches_shared_vjp():
+    """share_g_forward=False (the pre-r2 two-forward lowering, kept as a
+    bench ablation) must produce numerically identical updates to the
+    shared-vjp default — same math, different schedule."""
+    cfg = tiny_cfg()
+    state_a, step_a = build(cfg)
+    state_b, step_b = build(cfg, share_g_forward=False)
+    real = fake_real_batch(cfg, 8)
+    new_a, m_a = jax.jit(step_a)(state_a, real)
+    new_b, m_b = jax.jit(step_b)(state_b, real)
+    for k in m_a:
+        np.testing.assert_allclose(
+            float(m_a[k]), float(m_b[k]), rtol=1e-5, err_msg=k
+        )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6),
+        new_a.params_g,
+        new_b.params_g,
+    )
