@@ -64,7 +64,15 @@ def make_vis_fn(cfg, generator, run_dir: str):
         return images
 
     def vis(state, step: int) -> None:
-        images = np.asarray(jax.device_get(render(state.params_g, state.extras_g)))
+        from gea.parallel.dp import local_copy
+
+        # Multihost: vis runs on the lead only — fetch a host-local copy
+        # of the replicated params so the render is a local computation.
+        images = np.asarray(
+            jax.device_get(
+                render(local_copy(state.params_g), local_copy(state.extras_g))
+            )
+        )
         save_stage_grids(
             images, os.path.join(run_dir, "samples"), step, rows=cfg.vis_rows
         )
@@ -104,8 +112,13 @@ def make_fid_fn(cfg, generator):
     score_ema = getattr(cfg, "g_ema", 0.0) > 0
 
     def fid_fn(state) -> float:
+        from gea.parallel.dp import local_copy
+
         rng = jax.random.PRNGKey(cfg.seed ^ 0xFAD)
-        params = state.params_g_ema if score_ema else state.params_g
+        params = local_copy(
+            state.params_g_ema if score_ema else state.params_g
+        )
+        state = state.replace(extras_g=local_copy(state.extras_g))
 
         def fakes():
             nonlocal rng

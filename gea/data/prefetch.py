@@ -46,7 +46,15 @@ def device_prefetch(
             for batch in host_iter:
                 if stop.is_set():
                     return
-                arr = jax.device_put(batch, sharding)
+                if sharding is not None and not sharding.is_fully_addressable:
+                    # Multihost: this process's batch is the LOCAL slab of
+                    # the global batch (input_iterator sizes it that way);
+                    # assemble the global array from per-process data.
+                    arr = jax.make_array_from_process_local_data(
+                        sharding, np.asarray(batch)
+                    )
+                else:
+                    arr = jax.device_put(batch, sharding)
                 if not _put(arr):
                     return
         except BaseException as e:  # propagate to the consumer, don't

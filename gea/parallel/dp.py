@@ -87,10 +87,44 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: np.ndarray, mesh: Mesh) -> jax.Array:
-    """Place a host batch with its leading dim sharded over the data axis."""
-    return jax.device_put(batch, batch_sharding(mesh))
+    """Place a host batch with its leading dim sharded over the data axis.
+    Multihost: `batch` is this process's local slab of the global batch."""
+    sh = batch_sharding(mesh)
+    if not sh.is_fully_addressable:
+        return jax.make_array_from_process_local_data(sh, np.asarray(batch))
+    return jax.device_put(batch, sh)
+
+
+def local_copy(tree: Any) -> Any:
+    """Host-local numpy copy of a fully-replicated global pytree.
+
+    Multihost vis/eval runs on the lead process only, so it cannot feed
+    global (non-fully-addressable) arrays into a single-process jit;
+    fully-replicated arrays can be fetched host-side from any process and
+    re-placed on local devices by the computation."""
+
+    def f(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            # Read THIS process's replica shard (full value for replicated
+            # arrays). jax.device_get on a global array would open a
+            # cross-process transfer context, which hangs when only the
+            # lead process is fetching (vis/fid/checkpoint are lead-only).
+            return np.asarray(x.addressable_data(0))
+        return x
+
+    return jax.tree_util.tree_map(f, tree)
 
 
 def replicate_state(state: Any, mesh: Mesh) -> Any:
+    """Replicate the state pytree over the mesh. Multihost: every process
+    holds an identical host copy (same init seed / same restored
+    checkpoint), assembled into fully-replicated global arrays."""
     sh = replicated_sharding(mesh)
+    if not sh.is_fully_addressable:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(jax.device_get(x))
+            ),
+            state,
+        )
     return jax.device_put(state, sh)

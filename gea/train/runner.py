@@ -37,12 +37,31 @@ def prepare_run(cfg) -> str:
         # Multi-host pods (SURVEY.md §2/§5): coordinator discovery over
         # DCN via the standard cluster env; after this, jax.devices()
         # spans every host and the same 1-axis data mesh rides ICI
-        # within slices and DCN across them.
-        jax.distributed.initialize()
+        # within slices and DCN across them. Clusters without an
+        # auto-detectable environment (and the 2-process CPU smoke test,
+        # tests/test_multihost.py) configure the coordinator explicitly
+        # through GEA_COORDINATOR/GEA_NUM_PROCESSES/GEA_PROCESS_ID.
+        coord = os.environ.get("GEA_COORDINATOR", "")
+        if coord:
+            jax.distributed.initialize(
+                coordinator_address=coord,
+                num_processes=int(os.environ["GEA_NUM_PROCESSES"]),
+                process_id=int(os.environ["GEA_PROCESS_ID"]),
+            )
+        else:
+            jax.distributed.initialize()
         print(
             f"[gea] multihost: process {jax.process_index()}/"
             f"{jax.process_count()}, {len(jax.devices())} devices"
         )
+        if getattr(cfg, "fid_interval", 0) > 0 and jax.process_count() > 1:
+            # Best-snapshot pinning decides is_best on the lead only, but
+            # the orbax save protocol needs every process to join each
+            # save — a lead-only best-save would desynchronize the pod.
+            raise SystemExit(
+                "--fid_interval is not supported with --multihost yet; "
+                "track FID offline with gea.cli.compute_fid/eval_stages"
+            )
     run_dir = os.path.abspath(cfg.save_path)
     os.makedirs(run_dir, exist_ok=True)
     if getattr(cfg, "multihost", False) and jax.process_index() != 0:
@@ -94,12 +113,23 @@ def input_iterator(cfg, mesh, seed: int) -> Iterator[jax.Array]:
     stack feeding one chunked dispatch (lax.scan over the K steps).
     """
     k = dispatch_chunk(cfg)
+    n_proc = jax.process_count()
     if synthetic_on_device(cfg):
         # The step generates its own data; feed a tiny shardable dummy.
+        # Multihost: each process supplies its LOCAL slab (prefetch
+        # assembles the global array from per-process data).
         n = mesh.devices.size if mesh is not None else 1
+        n_local = n // n_proc
         dummy = (
-            np.zeros((k, n), np.float32) if k > 1 else np.zeros((n,), np.float32)
+            np.zeros((k, n_local), np.float32)
+            if k > 1
+            else np.zeros((n_local,), np.float32)
         )
+        if mesh is not None:
+            sh = batch_sharding(mesh, chunked=k > 1)
+            if not sh.is_fully_addressable:
+                # Multihost: assemble the (constant) global dummy once.
+                dummy = jax.make_array_from_process_local_data(sh, dummy)
 
         def dummies():
             while True:
@@ -107,6 +137,16 @@ def input_iterator(cfg, mesh, seed: int) -> Iterator[jax.Array]:
 
         return dummies()
 
+    if n_proc > 1:
+        # Multihost: each process decodes/serves only its slab of the
+        # global batch, from an independently-seeded stream.
+        if cfg.batch_size % n_proc:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} must divide over "
+                f"{n_proc} processes"
+            )
+        cfg = cfg.replace(batch_size=cfg.batch_size // n_proc)
+        seed = seed + 7919 * jax.process_index()
     ds = make_dataset(cfg, seed=seed)
     sharding = (
         batch_sharding(mesh, chunked=k > 1) if mesh is not None else None
@@ -412,8 +452,10 @@ class TrainLoop:
                     k for k, v in hist.items() if not np.all(np.isfinite(v))
                 ]
                 if bad:
-                    if self.is_lead:
-                        save_checkpoint(self.run_dir, step_now, self.state)
+                    # All processes see identical (replicated) metrics, so
+                    # every process joins the post-mortem save (the orbax
+                    # multihost protocol; the primary does the writing).
+                    save_checkpoint(self.run_dir, step_now, self.state)
                     raise FloatingPointError(
                         f"non-finite metrics {bad} at iter {step_now}; "
                         f"post-mortem checkpoint written to {self.run_dir}"
@@ -494,11 +536,13 @@ class TrainLoop:
 
             if (
                 (crossed(cfg.save_interval) or step_now == cfg.niter)
-                and self.is_lead
                 and not saved_for_best
             ):
                 # Async: serialization overlaps the next train steps
                 # (orbax AsyncCheckpointer); we block only on loop exit.
+                # NOT lead-gated: orbax's save/wait protocol is a global
+                # sync — every process must join each save call (numpy
+                # trees are then written by the primary host only).
                 save_checkpoint(
                     self.run_dir,
                     step_now,

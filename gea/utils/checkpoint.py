@@ -67,16 +67,25 @@ def save_checkpoint(
     must invoke `wait_for_checkpoints()` before exiting or restoring.
     """
     path = os.path.join(_ckpt_root(run_dir), str(step))
+    # Multihost: saves run on the lead process only, so fetch local
+    # replica shards rather than opening cross-process transfers
+    # (gea.parallel.dp.local_copy; no-op for addressable arrays).
+    from gea.parallel.dp import local_copy
+
+    host_state = jax.device_get(local_copy(state))
     if async_save:
         ckptr = _get_async_checkpointer()
         ckptr.wait_until_finished()  # at most one save in flight
-        ckptr.save(path, jax.device_get(state), force=True)
+        ckptr.save(path, host_state, force=True)
     else:
-        ocp.PyTreeCheckpointer().save(path, jax.device_get(state), force=True)
-    if keep > 0:
+        ocp.PyTreeCheckpointer().save(path, host_state, force=True)
+    if keep > 0 and jax.process_index() == 0:
         # Count the just-written step even when its directory is not yet
         # committed (async save in flight) — otherwise listdir misses it
         # and keep+1 checkpoints survive every async prune (ADVICE.md r1).
+        # Multihost: every process calls save (the orbax sync protocol
+        # requires it; numpy trees are written by the primary only), but
+        # only the primary prunes shared storage.
         root = _ckpt_root(run_dir)
         on_disk = sorted(
             int(d) for d in os.listdir(root) if re.fullmatch(r"\d+", d)
