@@ -199,6 +199,13 @@ def main(argv: Optional[list] = None):
         "--use_ema", action="store_true",
         help="score the EMA copy of G (runs trained with --g_ema > 0)",
     )
+    p.add_argument(
+        "--second_opinion", action="store_true",
+        help="also score with an independent second random-feature net "
+        "(proxy-FID-b) and with KID (cubic-kernel MMD, a different metric "
+        "family) — rank agreement across the three is evidence a result "
+        "is not a one-metric artifact",
+    )
     a = p.parse_args(argv)
 
     from gea.utils.checkpoint import restore_checkpoint
@@ -212,28 +219,32 @@ def main(argv: Optional[list] = None):
         dataroot=a.dataroot or train_cfg.dataroot,
         batch_size=a.batch_size,
     )
-    if a.r_path:
-        fakes = corrected_batch_iter(
-            generator, variables, train_cfg, a.r_path, a.batch_size, a.seed,
-            correction_steps=a.correction_steps,
-            correction_strength=a.correction_strength,
-            shell_renorm=a.shell_renorm,
-            r_step=a.r_step,
-        )
-    elif a.d_filter:
-        d_step = a.d_filter_step or a.step
-        fakes = filtered_batch_iter(
-            generator, variables, train_cfg, a.load_path, a.batch_size,
-            a.seed, oversample=a.oversample, d_step=d_step,
-            restored=restored if d_step == a.step else None,
-        )
-    else:
-        fakes = fake_batch_iter(
+    def make_fakes():
+        """Fresh fake-sample iterator (deterministic from the seed) — the
+        second-opinion metrics re-walk the identical sample stream."""
+        if a.r_path:
+            return corrected_batch_iter(
+                generator, variables, train_cfg, a.r_path, a.batch_size,
+                a.seed,
+                correction_steps=a.correction_steps,
+                correction_strength=a.correction_strength,
+                shell_renorm=a.shell_renorm,
+                r_step=a.r_step,
+            )
+        if a.d_filter:
+            d_step = a.d_filter_step or a.step
+            return filtered_batch_iter(
+                generator, variables, train_cfg, a.load_path, a.batch_size,
+                a.seed, oversample=a.oversample, d_step=d_step,
+                restored=restored if d_step == a.step else None,
+            )
+        return fake_batch_iter(
             generator, variables, train_cfg, a.batch_size, a.seed
         )
+
     fid, label = compute_fid(
         real_batch_iter(data_cfg, a.seed),
-        fakes,
+        make_fakes(),
         image_size=train_cfg.image_size,
         num_samples=a.num_samples,
         extractor=a.extractor,
@@ -245,6 +256,36 @@ def main(argv: Optional[list] = None):
         "num_samples": a.num_samples,
         "load_path": os.path.abspath(a.load_path),
     }
+    if a.second_opinion:
+        from gea.eval.fid import (
+            compute_features,
+            kid_score,
+            make_feature_extractor,
+        )
+
+        fid_b, label_b = compute_fid(
+            real_batch_iter(data_cfg, a.seed),
+            make_fakes(),
+            image_size=train_cfg.image_size,
+            num_samples=a.num_samples,
+            extractor="random-b",
+        )
+        extract, _ = make_feature_extractor(
+            train_cfg.image_size, a.extractor,
+            inception_weights=a.inception_weights,
+        )
+        rf = compute_features(
+            real_batch_iter(data_cfg, a.seed), extract, a.num_samples
+        )
+        ff = compute_features(make_fakes(), extract, a.num_samples)
+        kid_mean, kid_std = kid_score(rf, ff)
+        result["second_opinion"] = {
+            "metric_b": label_b,
+            "value_b": round(fid_b, 4),
+            "kid_metric": f"KID over {label} features, x1000",
+            "kid_x1000": round(kid_mean * 1000, 4),
+            "kid_x1000_std": round(kid_std * 1000, 4),
+        }
     if a.r_path:
         result["r_path"] = os.path.abspath(a.r_path)
         result["correction"] = (

@@ -44,6 +44,13 @@ def main(argv: Optional[list] = None):
         "--inception_weights", default="",
         help="local keras InceptionV3 weights (.h5) for true FID offline",
     )
+    p.add_argument(
+        "--second_opinion", action="store_true",
+        help="add two independent per-stage columns: Frechet distance "
+        "under a second random-feature net (frechet_b) and KID (cubic-"
+        "kernel MMD x1000) — rank agreement across metrics is evidence "
+        "the stage ordering is not a one-metric artifact",
+    )
     a = p.parse_args(argv)
 
     from gea.utils.checkpoint import restore_checkpoint
@@ -70,7 +77,12 @@ def main(argv: Optional[list] = None):
     extract, label = make_feature_extractor(
         cfg.image_size, a.extractor, inception_weights=a.inception_weights
     )
+    extract_b = label_b = None
+    if a.second_opinion:
+        extract_b, label_b = make_feature_extractor(cfg.image_size, "random-b")
     stage_stats = [None] * n_stages
+    stage_stats_b = [None] * n_stages
+    stage_feats = [[] for _ in range(n_stages)]  # raw feats for KID
     d_scores = [[] for _ in range(n_stages)]
 
     rng = jax.random.PRNGKey(a.seed)
@@ -93,20 +105,31 @@ def main(argv: Optional[list] = None):
             if stage_stats[s] is None:
                 stage_stats[s] = FIDStats.empty(feats.shape[-1])
             stage_stats[s].update(feats)
+            if a.second_opinion:
+                stage_feats[s].append(feats.astype(np.float64))
+                fb = np.asarray(jax.device_get(extract_b(images[s])))
+                if stage_stats_b[s] is None:
+                    stage_stats_b[s] = FIDStats.empty(fb.shape[-1])
+                stage_stats_b[s].update(fb)
         done += n
 
-    real_stats = compute_stats(
-        real_batch_iter(
+    def make_reals():
+        return real_batch_iter(
             cfg.replace(
                 dataset=a.dataset,
                 dataroot=a.dataroot or cfg.dataroot,
                 batch_size=a.batch_size,
             ),
             a.seed,
-        ),
-        extract,
-        a.num_samples,
-    )
+        )
+
+    real_stats = compute_stats(make_reals(), extract, a.num_samples)
+    real_stats_b = real_feats = None
+    if a.second_opinion:
+        from gea.eval.fid import compute_features, kid_score
+
+        real_stats_b = compute_stats(make_reals(), extract_b, a.num_samples)
+        real_feats = compute_features(make_reals(), extract, a.num_samples)
 
     stages = []
     for s in range(n_stages):
@@ -116,19 +139,36 @@ def main(argv: Optional[list] = None):
             stage_stats[s].mean,
             stage_stats[s].cov,
         )
-        stages.append(
-            {
-                "stage": s,
-                "d_score_mean": round(float(np.mean(np.concatenate(d_scores[s]))), 4),
-                "frechet": round(fid, 4),
-            }
-        )
+        row = {
+            "stage": s,
+            "d_score_mean": round(float(np.mean(np.concatenate(d_scores[s]))), 4),
+            "frechet": round(fid, 4),
+        }
+        if a.second_opinion:
+            row["frechet_b"] = round(
+                frechet_distance(
+                    real_stats_b.mean,
+                    real_stats_b.cov,
+                    stage_stats_b[s].mean,
+                    stage_stats_b[s].cov,
+                ),
+                4,
+            )
+            kid_mean, kid_std = kid_score(
+                real_feats, np.concatenate(stage_feats[s], axis=0)
+            )
+            row["kid_x1000"] = round(kid_mean * 1000, 4)
+            row["kid_x1000_std"] = round(kid_std * 1000, 4)
+        stages.append(row)
     result = {
         "metric": label,
         "num_samples": a.num_samples,
         "stages": stages,
         "load_path": os.path.abspath(a.load_path),
     }
+    if a.second_opinion:
+        result["metric_b"] = label_b
+        result["kid_metric"] = f"KID over {label} features, x1000"
     print(json.dumps(result))
     if a.out:
         with open(a.out, "w") as f:

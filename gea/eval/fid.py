@@ -85,14 +85,17 @@ def frechet_distance(
 
 
 def _random_cnn_extractor(
-    image_size: int, feature_dim: int = 256, seed: int = 1234
+    image_size: int,
+    feature_dim: int = 256,
+    seed: int = 1234,
+    chans: Optional[Tuple[int, ...]] = None,
 ) -> FeatureExtractor:
     """Frozen fixed-seed conv feature net: 4 stride-2 conv+relu stages with
     orthogonal-ish gaussian filters, global average + max pool head,
     projected to `feature_dim`. Deterministic across processes."""
     rng = jax.random.PRNGKey(seed)
     keys = jax.random.split(rng, 6)
-    chans = [3, 32, 64, 128, 256]
+    chans = list(chans) if chans is not None else [3, 32, 64, 128, 256]
     kernels = []
     for i in range(4):
         fan_in = 3 * 3 * chans[i]
@@ -224,10 +227,83 @@ def make_feature_extractor(
             _inception_unavailable = True  # don't re-attempt downloads
             if extractor == "inception":
                 raise
+    if extractor == "random-b":
+        # Independent second-opinion proxy (VERDICT r2 #7): different
+        # seed, different widths, different head dimensionality — rank
+        # agreement between the two proxies is evidence a result is not
+        # an artifact of one particular random feature basis.
+        return (
+            _random_cnn_extractor(
+                image_size,
+                feature_dim=192,
+                seed=7777,
+                chans=(3, 24, 48, 96, 192),
+            ),
+            "proxy-FID(random-cnn-b)",
+        )
     return (
         _random_cnn_extractor(image_size),
         "proxy-FID(random-cnn)",
     )
+
+
+# ----------------------------------------------------------------- KID
+
+
+def compute_features(
+    batches: Iterable[np.ndarray],
+    extract: FeatureExtractor,
+    max_samples: int,
+) -> np.ndarray:
+    """Raw feature matrix (N, D) — KID needs samples, not just moments."""
+    feats = []
+    seen = 0
+    for batch in batches:
+        f = np.asarray(jax.device_get(extract(jnp.asarray(batch))))
+        take = min(f.shape[0], max_samples - seen)
+        feats.append(f[:take].astype(np.float64))
+        seen += take
+        if seen >= max_samples:
+            break
+    if not feats:
+        raise ValueError("no samples provided to compute_features")
+    return np.concatenate(feats, axis=0)
+
+
+def _poly_kernel(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    d = x.shape[1]
+    return (x @ y.T / d + 1.0) ** 3
+
+
+def kid_score(
+    real_feats: np.ndarray,
+    fake_feats: np.ndarray,
+    subset_size: int = 256,
+    n_subsets: int = 20,
+    seed: int = 0,
+) -> Tuple[float, float]:
+    """Kernel Inception Distance (Binkowski et al. 2018): unbiased MMD^2
+    with the cubic polynomial kernel k(x,y) = (x.y/D + 1)^3, averaged over
+    random subsets. Returns (mean, std-across-subsets). A second offline
+    metric FAMILY next to the Frechet distance (VERDICT r2 #7): unbiased
+    (no Gaussian assumption), so rank agreement between proxy-FID and
+    proxy-KID is evidence the ranking is not a Frechet/Gaussian artifact."""
+    rng = np.random.default_rng(seed)
+    m = min(subset_size, real_feats.shape[0], fake_feats.shape[0])
+    scores = []
+    for _ in range(n_subsets):
+        x = real_feats[rng.choice(real_feats.shape[0], m, replace=False)]
+        y = fake_feats[rng.choice(fake_feats.shape[0], m, replace=False)]
+        kxx = _poly_kernel(x, x)
+        kyy = _poly_kernel(y, y)
+        kxy = _poly_kernel(x, y)
+        mmd2 = (
+            (kxx.sum() - np.trace(kxx)) / (m * (m - 1))
+            + (kyy.sum() - np.trace(kyy)) / (m * (m - 1))
+            - 2.0 * kxy.mean()
+        )
+        scores.append(mmd2)
+    return float(np.mean(scores)), float(np.std(scores))
 
 
 # --------------------------------------------------------------- driver

@@ -138,3 +138,53 @@ def test_probe_cached_inception_env_override(tmp_path, monkeypatch):
     monkeypatch.delenv("GEA_INCEPTION_WEIGHTS")
     monkeypatch.setenv("KERAS_HOME", str(tmp_path))
     assert probe_cached_inception_weights() == ""
+
+
+def test_kid_separates_distributions(rng):
+    """KID (cubic-kernel MMD) ~0 for same-distribution feats, >0 and larger
+    for a farther distribution — the second-opinion metric family
+    (VERDICT r2 #7)."""
+    from gea.eval.fid import kid_score
+
+    a = rng.standard_normal((400, 32))
+    a2 = rng.standard_normal((400, 32))
+    near = rng.standard_normal((400, 32)) + 0.5
+    far = rng.standard_normal((400, 32)) + 2.0
+    same, _ = kid_score(a, a2, subset_size=200, n_subsets=5)
+    k_near, _ = kid_score(a, near, subset_size=200, n_subsets=5)
+    k_far, _ = kid_score(a, far, subset_size=200, n_subsets=5)
+    assert abs(same) < 0.05
+    assert k_near > same
+    assert k_far > k_near  # monotone in distribution distance
+
+
+def test_second_opinion_extractor_is_independent(rng):
+    """random-b must be a genuinely different feature basis (different
+    widths/seed), not the primary under a new label."""
+    import jax.numpy as jnp
+
+    from gea.eval.fid import make_feature_extractor
+
+    ex_a, label_a = make_feature_extractor(16, "random")
+    ex_b, label_b = make_feature_extractor(16, "random-b")
+    assert label_a == "proxy-FID(random-cnn)"
+    assert label_b == "proxy-FID(random-cnn-b)"
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32))
+    fa = np.asarray(ex_a(x))
+    fb = np.asarray(ex_b(x))
+    assert fa.shape[-1] == 256 and fb.shape[-1] == 192
+
+
+def test_compute_features_matches_stats(rng):
+    from gea.eval.fid import FIDStats, compute_features, make_feature_extractor
+
+    ex, _ = make_feature_extractor(16, "random")
+    batches = [
+        rng.uniform(-1, 1, (4, 16, 16, 3)).astype(np.float32)
+        for _ in range(3)
+    ]
+    feats = compute_features(iter(batches), ex, max_samples=10)
+    assert feats.shape[0] == 10
+    stats = FIDStats.empty(feats.shape[1])
+    stats.update(feats)
+    np.testing.assert_allclose(stats.mean, feats.mean(axis=0), rtol=1e-6)

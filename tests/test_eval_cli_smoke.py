@@ -90,3 +90,33 @@ def test_info_cli(tiny_run):
     assert result["step"] == 2
     assert result["params"]["params_g"] > 0
     assert result["config"]["image_size"] == 16
+
+
+@pytest.mark.slow
+def test_compute_fid_cli_second_opinion(tiny_run, tiny_folder):
+    from gea.cli import compute_fid
+
+    result = compute_fid.main(
+        ["--load_path", tiny_run, "--dataset", "folder", "--dataroot",
+         tiny_folder, "--num_samples", "8", "--batch_size", "4",
+         "--extractor", "random", "--second_opinion"]
+    )
+    so = result["second_opinion"]
+    assert so["metric_b"] == "proxy-FID(random-cnn-b)"
+    assert np.isfinite(so["value_b"])
+    assert np.isfinite(so["kid_x1000"])
+
+
+@pytest.mark.slow
+def test_eval_stages_cli_second_opinion(tiny_run, tiny_folder):
+    from gea.cli import eval_stages
+
+    result = eval_stages.main(
+        ["--load_path", tiny_run, "--dataset", "folder", "--dataroot",
+         tiny_folder, "--num_samples", "8", "--batch_size", "4",
+         "--second_opinion"]
+    )
+    assert result["metric_b"] == "proxy-FID(random-cnn-b)"
+    for s in result["stages"]:
+        assert np.isfinite(s["frechet_b"])
+        assert np.isfinite(s["kid_x1000"])
