@@ -250,9 +250,22 @@ class TrainGLISConfig(ModelConfig, DataConfig):
     )
     gan_loss: str = _flag(
         "bce",
-        "GAN objective: the reference's BCE/sigmoid, or the SAGAN-style "
-        "hinge loss (beyond-reference option)",
-        choices=("bce", "hinge"),
+        "GAN objective: the reference's BCE/sigmoid, the SAGAN-style "
+        "hinge loss, or WGAN with gradient penalty (beyond-reference "
+        "options)",
+        choices=("bce", "hinge", "wgan-gp"),
+    )
+    gp_weight: float = _flag(
+        10.0,
+        "gradient-penalty weight for --gan_loss wgan-gp (the WGAN-GP "
+        "paper's lambda=10)",
+    )
+    stop_patience: int = _flag(
+        0,
+        "early stopping: end the run after this many consecutive "
+        "--fid_interval evaluations without a new best FID (the tracked "
+        "best snapshot stays pinned for --step -1). 0 disables; "
+        "requires --fid_interval > 0 (beyond-reference option)",
     )
     g_ema: float = _flag(
         0.0,

@@ -76,10 +76,45 @@ def staged_apply(fn, logits_per_stage: jnp.ndarray, weights) -> jnp.ndarray:
     return jnp.sum(w * per_stage)
 
 
+def wgan_d_real(logits: jnp.ndarray) -> jnp.ndarray:
+    """Wasserstein critic loss, real side: -E[D(x)] (beyond-reference
+    option `--gan_loss wgan-gp`; the gradient penalty lives in the train
+    step, not here, because it differentiates D w.r.t. IMAGES)."""
+    return -jnp.mean(logits.astype(jnp.float32))
+
+
+def wgan_d_fake(logits: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(logits.astype(jnp.float32))
+
+
+def wgan_g(logits: jnp.ndarray) -> jnp.ndarray:
+    return -jnp.mean(logits.astype(jnp.float32))
+
+
+def gradient_penalty(d_apply, real: jnp.ndarray, fake: jnp.ndarray, rng) -> jnp.ndarray:
+    """WGAN-GP (Gulrajani et al. 2017): E[(||grad_x D(x_hat)|| - 1)^2] on
+    random interpolates x_hat between real and fake batches. `d_apply`
+    maps images -> logits (params closed over; the step differentiates the
+    whole D loss w.r.t. params afterwards — grad-of-grad)."""
+    eps = jax.random.uniform(rng, (real.shape[0], 1, 1, 1), jnp.float32)
+    x_hat = eps * real.astype(jnp.float32) + (1.0 - eps) * fake.astype(
+        jnp.float32
+    )
+
+    def total(x):
+        return jnp.sum(d_apply(x).astype(jnp.float32))
+
+    g = jax.grad(total)(x_hat)
+    norms = jnp.sqrt(jnp.sum(jnp.square(g), axis=(1, 2, 3)) + 1e-12)
+    return jnp.mean(jnp.square(norms - 1.0))
+
+
 def gan_objective(kind: str):
-    """(d_real_fn, d_fake_fn, g_fn) for `--gan_loss {bce,hinge}`."""
+    """(d_real_fn, d_fake_fn, g_fn) for `--gan_loss {bce,hinge,wgan-gp}`."""
     if kind == "hinge":
         return hinge_d_real, hinge_d_fake, hinge_g
+    if kind == "wgan-gp":
+        return wgan_d_real, wgan_d_fake, wgan_g
     if kind == "bce":
         return (
             d_real_loss,

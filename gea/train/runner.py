@@ -335,6 +335,9 @@ class TrainLoop:
         # is not yet durable: (step, fid). Committed at the next point the
         # underlying checkpoint is known to have finished serializing.
         self._pending_best: Optional[Tuple[int, float]] = None
+        # --stop_patience early stopping: consecutive fid evals without a
+        # new best.
+        self._evals_since_best = 0
         self.plotter = LossPlotter()
         self.meter = ThroughputMeter(cfg.batch_size)
         # Multihost: exactly one process owns run_dir side-effects (grids,
@@ -492,6 +495,7 @@ class TrainLoop:
                 self.plotter.plot(os.path.join(self.run_dir, "plots", "loss.png"))
 
             saved_for_best = False
+            stop_early = False
             fid_interval = getattr(cfg, "fid_interval", 0)
             if (
                 self.fid_fn is not None
@@ -501,6 +505,22 @@ class TrainLoop:
             ):
                 fid = float(self.fid_fn(self.state))
                 is_best = fid < self._best_fid
+                patience = getattr(cfg, "stop_patience", 0)
+                self._evals_since_best = (
+                    0 if is_best else self._evals_since_best + 1
+                )
+                if patience > 0 and self._evals_since_best >= patience:
+                    # --stop_patience: GAN quality is non-monotone; once
+                    # the tracked FID has not improved for `patience`
+                    # evals, further steps only burn budget — the pinned
+                    # best snapshot (--step -1) is the run's artifact.
+                    print(
+                        f"[gea] early stop at iter {step_now}: no new best "
+                        f"in {patience} evaluations (best "
+                        f"{self._best_fid:.3f} @ {self._best_step})",
+                        flush=True,
+                    )
+                    stop_early = True
                 print(
                     f"[gea] iter {step_now}: fid={fid:.3f}"
                     + (" (new best)" if is_best else
@@ -535,7 +555,7 @@ class TrainLoop:
                     saved_for_best = True
 
             if (
-                (crossed(cfg.save_interval) or step_now == cfg.niter)
+                (crossed(cfg.save_interval) or step_now == cfg.niter or stop_early)
                 and not saved_for_best
             ):
                 # Async: serialization overlaps the next train steps
@@ -552,6 +572,9 @@ class TrainLoop:
                     protect=self._best_step,
                 )
                 self._commit_pending_best()  # prior best-save now durable
+
+            if stop_early:
+                break
 
         wait_for_checkpoints()
         self._commit_pending_best()

