@@ -120,3 +120,35 @@ def test_eval_stages_cli_second_opinion(tiny_run, tiny_folder):
     for s in result["stages"]:
         assert np.isfinite(s["frechet_b"])
         assert np.isfinite(s["kid_x1000"])
+
+
+@pytest.fixture(scope="module")
+def tiny_riter_run(tmp_path_factory):
+    from gea.cli import train_r_iterative
+
+    run = str(tmp_path_factory.mktemp("riter") / "r")
+    train_r_iterative.main(
+        TINY
+        + ["--niter", "2", "--r_chain_length", "2", "--vis_interval", "5",
+           "--save_interval", "2", "--save_path", run]
+    )
+    return run
+
+
+@pytest.mark.slow
+def test_eval_chain_cli(tiny_riter_run, tiny_folder):
+    """Per-chain-link metrics for R-iterative runs (VERDICT r2 #3)."""
+    from gea.cli import eval_chain
+
+    result = eval_chain.main(
+        ["--load_path", tiny_riter_run, "--dataset", "folder", "--dataroot",
+         tiny_folder, "--num_samples", "8", "--batch_size", "4",
+         "--second_opinion"]
+    )
+    assert len(result["links"]) == 3  # chain 2 -> links 0..2
+    assert result["chain_length_trained"] == 2
+    for row in result["links"]:
+        assert np.isfinite(row["frechet"])
+        assert np.isfinite(row["frechet_b"])
+        assert np.isfinite(row["kid_x1000"])
+        assert 0.0 <= row["d_score_mean"] <= 1.0
