@@ -212,6 +212,16 @@ class DataConfig(BaseConfig):
         "crop/resize/flip/normalize on device (jit) instead of on host; "
         "host only decodes JPEG to uint8",
     )
+    host_resize: bool = _flag(
+        False,
+        "transport optimization for hosts with a SLOW device link (e.g. "
+        "tunneled runtimes at tens of MB/s): crop+downsample to "
+        "image_size on host and stream uint8 at FINAL resolution — "
+        "(crop/image)^2 fewer bytes per step (4x for 160->80); flip/"
+        "normalize stay on device. Default off: direct-attached hosts "
+        "move uint8 at decode resolution and resize on the MXU/VPU "
+        "(docs/RESULTS.md round-3 e2e analysis)",
+    )
     synthetic_on_device: bool = _flag(
         False,
         "dataset=synthetic only: generate the synthetic batch INSIDE the "

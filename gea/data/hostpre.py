@@ -38,3 +38,55 @@ def host_preprocess(
         flip = rng.random(b) < 0.5
         x[flip] = x[flip, :, ::-1, :]
     return x
+
+
+def host_downsample_uint8(
+    raw: np.ndarray, crop_size: int, image_size: int
+) -> np.ndarray:
+    """(B, H, W, 3) uint8 -> (B, image_size, image_size, 3) uint8: center
+    crop + downsample on HOST, for `--host_resize` transport mode.
+
+    Rationale (docs/RESULTS.md round-3 e2e analysis): on hosts with a slow
+    device link (the tunneled single-chip here moves ~20-40 MB/s), the
+    input transfer is the e2e bottleneck; streaming uint8 at the FINAL
+    resolution instead of the decode resolution cuts bytes/step by
+    (crop/image)^2 (4x for the 160->80 flagship). Integer ratios use a
+    vectorized box-mean (one numpy pass, matching bilinear+antialias
+    closely for 2x); other ratios fall back to per-image PIL bilinear.
+    Flip/normalize stay on device (gea/data/ondevice.py).
+    """
+    b, h, w, _ = raw.shape
+    cs = min(crop_size, h, w)
+    top, left = (h - cs) // 2, (w - cs) // 2
+    x = raw[:, top : top + cs, left : left + cs, :]
+    if cs == image_size:
+        return np.ascontiguousarray(x)
+    if cs % image_size == 0:
+        k = cs // image_size
+        if k == 2:
+            # Fast path for the flagship 160->80: integer shift-add box
+            # mean in uint16 (np.mean would round-trip through float64
+            # and pace the single-core host below the transfer rate).
+            a = x.astype(np.uint16)
+            s = (
+                a[:, 0::2, 0::2]
+                + a[:, 0::2, 1::2]
+                + a[:, 1::2, 0::2]
+                + a[:, 1::2, 1::2]
+            )
+            return ((s + 2) >> 2).astype(np.uint8)
+        return (
+            x.reshape(b, image_size, k, image_size, k, 3)
+            .mean(axis=(2, 4))
+            .astype(np.uint8)
+        )
+    from PIL import Image
+
+    out = np.empty((b, image_size, image_size, 3), np.uint8)
+    for i in range(b):
+        out[i] = np.asarray(
+            Image.fromarray(x[i]).resize(
+                (image_size, image_size), Image.BILINEAR
+            )
+        )
+    return out

@@ -153,7 +153,22 @@ def input_iterator(cfg, mesh, seed: int) -> Iterator[jax.Array]:
     )
 
     if getattr(cfg, "on_device_pipeline", True):
-        batches = ds.batches()
+        if getattr(cfg, "host_resize", False):
+            # Slow-link transport mode: stream uint8 at FINAL resolution
+            # (see DataConfig.host_resize). The fused device preprocess
+            # then sees crop == image_size and only flips/normalizes.
+            from gea.data.hostpre import host_downsample_uint8
+
+            crop = device_crop_size(cfg)
+            raw_batches = ds.batches()
+
+            def resized():
+                for raw in raw_batches:
+                    yield host_downsample_uint8(raw, crop, cfg.image_size)
+
+            batches = resized()
+        else:
+            batches = ds.batches()
     else:
         from gea.data.hostpre import host_preprocess
 
@@ -202,6 +217,13 @@ def fuse_input_pipeline(cfg, step_fn, axis_name: str = None):
         return fused_synth
 
     if getattr(cfg, "on_device_pipeline", True):
+        # host_resize streams already-downsampled uint8: the device-side
+        # crop/resize become no-ops (crop == image_size).
+        crop = (
+            cfg.image_size
+            if getattr(cfg, "host_resize", False)
+            else device_crop_size(cfg)
+        )
 
         def fused(state, raw, rng):
             if axis_name is not None:
@@ -211,7 +233,7 @@ def fuse_input_pipeline(cfg, step_fn, axis_name: str = None):
             real = preprocess_batch(
                 raw,
                 rng,
-                crop_size=device_crop_size(cfg),
+                crop_size=crop,
                 image_size=cfg.image_size,
                 augment_flip=cfg.augment_flip,
             )

@@ -228,3 +228,23 @@ def test_ema_and_hinge_cli_flow(tmp_path):
             ["--load_path", g_plain, "--save_path_samples", out,
              "--count", "4", "--batch_size", "4", "--use_ema", "true"]
         )
+
+
+@pytest.mark.slow
+def test_host_resize_train_flow(tmp_path):
+    """--host_resize streams uint8 at final resolution; the fused step's
+    crop/resize become no-ops and training must proceed identically in
+    shape/artifact terms (slow-link transport mode, DataConfig.host_resize)."""
+    from gea.cli import train_glis
+
+    g_dir = str(tmp_path / "g_hr")
+    train_glis.main(
+        TINY
+        + ["--crop_size", "32", "--host_resize", "true",
+           "--r_iterations", "1", "--niter", "2", "--vis_interval", "2",
+           "--save_interval", "2", "--save_path", g_dir]
+    )
+    assert os.path.isdir(os.path.join(g_dir, "checkpoints", "2"))
+    assert any(
+        f.endswith(".png") for f in os.listdir(os.path.join(g_dir, "samples"))
+    )

@@ -254,3 +254,58 @@ def test_device_crop_size_semantics():
     assert device_crop_size(big) == 128  # never double-crop upscaled batches
     synth = TrainGLISConfig(dataset="synthetic", crop_size=64, image_size=128)
     assert device_crop_size(synth) == 64
+
+
+def test_host_downsample_uint8_2x_box_mean():
+    """The uint16 shift-add fast path must equal the exact box mean
+    (round-half-up), pixel for pixel."""
+    from gea.data.hostpre import host_downsample_uint8
+
+    rng = np.random.default_rng(0)
+    raw = rng.integers(0, 256, (3, 40, 40, 3), dtype=np.uint8)
+    out = host_downsample_uint8(raw, crop_size=32, image_size=16)
+    assert out.shape == (3, 16, 16, 3) and out.dtype == np.uint8
+    crop = raw[:, 4:36, 4:36, :].astype(np.float64)
+    ref = (
+        crop[:, 0::2, 0::2] + crop[:, 0::2, 1::2]
+        + crop[:, 1::2, 0::2] + crop[:, 1::2, 1::2]
+    )
+    ref = np.floor((ref + 2) / 4).astype(np.uint8)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_host_downsample_uint8_other_paths():
+    from gea.data.hostpre import host_downsample_uint8
+
+    rng = np.random.default_rng(1)
+    raw = rng.integers(0, 256, (2, 48, 48, 3), dtype=np.uint8)
+    # crop == image_size: pure center crop, bytes untouched
+    out = host_downsample_uint8(raw, crop_size=16, image_size=16)
+    np.testing.assert_array_equal(out, raw[:, 16:32, 16:32, :])
+    # integer ratio > 2: generic box mean
+    out4 = host_downsample_uint8(raw, crop_size=48, image_size=12)
+    assert out4.shape == (2, 12, 12, 3) and out4.dtype == np.uint8
+    flat = host_downsample_uint8(
+        np.full((1, 48, 48, 3), 200, np.uint8), 48, 12
+    )
+    assert np.all(flat == 200)
+    # non-integer ratio: PIL bilinear fallback
+    out3 = host_downsample_uint8(raw, crop_size=45, image_size=16)
+    assert out3.shape == (2, 16, 16, 3) and out3.dtype == np.uint8
+
+
+def test_host_resize_iterator_streams_final_resolution():
+    """--host_resize: the input iterator must yield uint8 at image_size
+    (the whole point: (crop/image)^2 fewer bytes over the device link),
+    and the fused step must still train on it (crop becomes a no-op)."""
+    from gea.config import TrainGLISConfig
+    from gea.train.runner import input_iterator
+
+    cfg = TrainGLISConfig(
+        dataset="synthetic", crop_size=32, image_size=16, batch_size=4,
+        host_resize=True, num_devices=1,
+    )
+    it = input_iterator(cfg, mesh=None, seed=0)
+    batch = next(it)
+    assert batch.shape == (4, 16, 16, 3)
+    assert batch.dtype == jnp.uint8
