@@ -28,3 +28,18 @@ Layout (reference layer map in SURVEY.md §1 → TPU-native layers):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("GEA_PLATFORM"):
+    # Deployment escape hatch: some managed runtimes pin JAX to their
+    # accelerator plugin from sitecustomize AFTER the JAX_PLATFORMS env
+    # var is read (observed with the axon TPU tunnel), so the env var
+    # alone cannot force a CLI onto CPU. GEA_PLATFORM=cpu re-applies the
+    # platform choice through the live config at package import, before
+    # any backend is used. (XLA_FLAGS such as
+    # --xla_force_host_platform_device_count still apply: the CPU client
+    # initializes lazily, after this runs.)
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["GEA_PLATFORM"])

@@ -24,7 +24,6 @@ import numpy as np
 
 from gea.config import TrainGLISConfig
 from gea.models import Discriminator, GeneratorLIS
-from gea.parallel.dp import replicate_state
 from gea.parallel.mesh import DATA_AXIS
 from gea.train.runner import (
     TrainLoop,
@@ -33,8 +32,10 @@ from gea.train.runner import (
     input_iterator,
     make_step_dispatcher,
     maybe_resume,
+    place_state,
     prepare_run,
     resolve_mesh,
+    tp_shards,
 )
 from gea.train.state import create_glis_state, make_optimizer, param_count
 from gea.train.steps import build_glis_train_step
@@ -164,7 +165,9 @@ def run(cfg: TrainGLISConfig):
     )
     state, start_step = maybe_resume(cfg, state)
 
-    axis = DATA_AXIS if mesh is not None else None
+    # GSPMD tp (--model_shards): the step keeps single-program semantics
+    # (axis_name=None) and jit's sharding annotations partition it.
+    axis = DATA_AXIS if mesh is not None and tp_shards(cfg) == 1 else None
     step = build_glis_train_step(
         cfg, generator, discriminator, tx_g, tx_d, axis_name=axis
     )
@@ -178,9 +181,8 @@ def run(cfg: TrainGLISConfig):
 
         step_fn = checked(fused)
     else:
-        if mesh is not None:
-            state = replicate_state(state, mesh)
-        step_fn = make_step_dispatcher(cfg, mesh, fused)
+        state, shardings = place_state(cfg, mesh, state)
+        step_fn = make_step_dispatcher(cfg, mesh, fused, shardings)
 
     data_iter = input_iterator(cfg, mesh, cfg.seed)
     vis = make_vis_fn(cfg, generator, run_dir)

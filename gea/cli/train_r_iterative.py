@@ -19,7 +19,6 @@ import numpy as np
 
 from gea.config import TrainRIterativeConfig
 from gea.models import Discriminator, GeneratorLIS, Reverter
-from gea.parallel.dp import replicate_state
 from gea.parallel.mesh import DATA_AXIS
 from gea.train.runner import (
     TrainLoop,
@@ -28,7 +27,9 @@ from gea.train.runner import (
     make_step_dispatcher,
     maybe_resume,
     prepare_run,
+    place_state,
     resolve_mesh,
+    tp_shards,
 )
 from gea.train.state import add_reverter, create_glis_state, make_optimizer, param_count
 from gea.train.steps_r import build_r_iterative_step
@@ -161,14 +162,13 @@ def run(cfg: TrainRIterativeConfig):
     )
     state, start_step = maybe_resume(cfg, state)
 
-    axis = DATA_AXIS if mesh is not None else None
+    axis = DATA_AXIS if mesh is not None and tp_shards(cfg) == 1 else None
     step = build_r_iterative_step(
         cfg, generator, discriminator, reverter, tx_g, tx_d, tx_r, axis_name=axis
     )
     fused = fuse_input_pipeline(cfg, step, axis_name=axis)
-    if mesh is not None:
-        state = replicate_state(state, mesh)
-    step_fn = make_step_dispatcher(cfg, mesh, fused)
+    state, shardings = place_state(cfg, mesh, state)
+    step_fn = make_step_dispatcher(cfg, mesh, fused, shardings)
 
     data_iter = input_iterator(cfg, mesh, cfg.seed)
     vis = make_vis_fn(cfg, generator, reverter, run_dir)

@@ -23,7 +23,6 @@ import numpy as np
 from gea.config import TrainRSeparateConfig
 from gea.cli.sample import load_generator
 from gea.models import Reverter
-from gea.parallel.dp import replicate_state
 from gea.parallel.mesh import DATA_AXIS
 from gea.train.runner import (
     TrainLoop,
@@ -31,7 +30,9 @@ from gea.train.runner import (
     make_step_dispatcher,
     maybe_resume,
     prepare_run,
+    place_state,
     resolve_mesh,
+    tp_shards,
 )
 from gea.train.state import GANTrainState, make_optimizer, param_count
 from gea.train.steps_r import build_r_separate_step
@@ -229,7 +230,7 @@ def run(cfg: TrainRSeparateConfig):
                 "falling back to pure code-reconstruction MSE"
             )
 
-    axis = DATA_AXIS if mesh is not None else None
+    axis = DATA_AXIS if mesh is not None and tp_shards(cfg) == 1 else None
     step = build_r_separate_step(
         cfg,
         generator,
@@ -244,9 +245,8 @@ def run(cfg: TrainRSeparateConfig):
     def step_no_input(state, raw, rng):
         return step(state, raw)
 
-    if mesh is not None:
-        state = replicate_state(state, mesh)
-    step_fn = make_step_dispatcher(cfg, mesh, step_no_input)
+    state, shardings = place_state(cfg, mesh, state)
+    step_fn = make_step_dispatcher(cfg, mesh, step_no_input, shardings)
 
     vis = make_vis_fn(cfg, generator, g_variables, reverter, run_dir)
     is_lead = not cfg.multihost or jax.process_index() == 0

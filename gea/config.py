@@ -297,6 +297,18 @@ class TrainGLISConfig(ModelConfig, DataConfig):
     num_devices: int = _flag(
         0, "data-parallel device count; 0 = all visible devices"
     )
+    model_shards: int = _flag(
+        1,
+        "GSPMD tensor parallelism: shard wide output-channel axes over a "
+        "'model' mesh axis of this size (must divide the device count; the "
+        "rest is the 'data' axis). 1 = pure data parallel. Single-host "
+        "only; see gea/parallel/tp.py",
+    )
+    tp_min_width: int = _flag(
+        64,
+        "model_shards > 1: only shard state leaves whose last axis is at "
+        "least this wide (narrow leaves replicate)",
+    )
     steps_per_dispatch: int = _flag(
         1,
         "fuse K train steps into one XLA dispatch (lax.scan) — amortizes "
@@ -430,6 +442,14 @@ class TrainRConfig(ModelConfig, DataConfig):
     vis_rows: int = _flag(8, "rows (and cols) of the sample grid")
     log_interval: int = _flag(50, "stdout loss print every N iterations")
     num_devices: int = _flag(0, "data-parallel devices; 0 = all visible")
+    model_shards: int = _flag(
+        1,
+        "GSPMD tensor parallelism over a 'model' mesh axis of this size "
+        "(single-host; gea/parallel/tp.py). 1 = pure data parallel",
+    )
+    tp_min_width: int = _flag(
+        64, "model_shards > 1: min last-axis width for a leaf to shard"
+    )
     steps_per_dispatch: int = _flag(
         1,
         "fuse K train steps into one XLA dispatch (lax.scan); "

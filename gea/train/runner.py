@@ -71,11 +71,29 @@ def prepare_run(cfg) -> str:
 
 
 def resolve_mesh(cfg):
-    """None for a single device, a 1-axis mesh otherwise."""
+    """None for a single device; a 1-axis data mesh; or a 2-axis
+    ('data', 'model') mesh when --model_shards > 1 (GSPMD dp x tp,
+    gea/parallel/tp.py)."""
     n = cfg.num_devices or len(jax.devices())
+    tp = tp_shards(cfg)
+    if tp > 1:
+        if getattr(cfg, "multihost", False):
+            raise SystemExit(
+                "--model_shards is single-host only (DP covers pods)"
+            )
+        if n <= 1:
+            raise SystemExit(
+                f"--model_shards {tp} needs multiple devices ({n} visible)"
+            )
+        return make_mesh(n, model_shards=tp)
     if n <= 1:
         return None
     return make_mesh(n)
+
+
+def tp_shards(cfg) -> int:
+    """Size of the 'model' mesh axis (1 = pure data parallel)."""
+    return max(1, getattr(cfg, "model_shards", 1))
 
 
 def dispatch_chunk(cfg) -> int:
@@ -269,20 +287,29 @@ def chunk_steps(step_fn, k: int):
     return chunked
 
 
-def make_step_dispatcher(cfg, mesh, fused_step):
+def make_step_dispatcher(cfg, mesh, fused_step, state_shardings=None):
     """Compile-on-demand dispatcher over chunk sizes.
 
     Returns step(state, raw, rng) -> (state, metrics). When
     steps_per_dispatch > 1 the chunk size is read off raw.shape[0], so the
     ragged tail of a run (niter % K != 0, or a misaligned resume) costs
-    exactly one extra compile instead of changing run length."""
+    exactly one extra compile instead of changing run length.
+
+    `state_shardings` (required iff --model_shards > 1): the dp x tp
+    sharding pytree from gea.parallel.tp.state_shardings — selects the
+    GSPMD path (plain jit + sharding annotations) instead of shard_map."""
     from gea.parallel.dp import make_parallel_input_step
+    from gea.parallel.tp import make_gspmd_input_step
 
     k_cfg = dispatch_chunk(cfg)
     cache = {}
 
     def build(k):
         fn = chunk_steps(fused_step, k) if k_cfg > 1 else fused_step
+        if state_shardings is not None:
+            return make_gspmd_input_step(
+                fn, mesh, state_shardings, chunked=k_cfg > 1
+            )
         if mesh is not None:
             return make_parallel_input_step(fn, mesh, chunked=k_cfg > 1)
         return jax.jit(fn, donate_argnums=0)
@@ -295,6 +322,42 @@ def make_step_dispatcher(cfg, mesh, fused_step):
         return fn(state, raw, rng)
 
     return dispatch
+
+
+def place_state(cfg, mesh, state):
+    """Place the train state over the mesh: replicated (DP) or dp x tp
+    sharded (--model_shards > 1). Returns (state, shardings) where
+    `shardings` is the tp sharding pytree to hand make_step_dispatcher,
+    or None on the replicated/DP path."""
+    if mesh is None:
+        return state, None
+    if tp_shards(cfg) > 1:
+        from gea.parallel.tp import (
+            shard_state,
+            sharded_param_fraction,
+            state_shardings,
+        )
+
+        sh = state_shardings(
+            state, mesh, min_width=getattr(cfg, "tp_min_width", 64)
+        )
+        frac = sharded_param_fraction(sh)
+        if frac == 0.0:
+            print(
+                f"[gea] warning: --model_shards {tp_shards(cfg)} sharded "
+                f"ZERO state leaves (no last axis >= tp_min_width="
+                f"{getattr(cfg, 'tp_min_width', 64)} divisible by the "
+                f"shard count) — running fully replicated"
+            )
+        else:
+            print(
+                f"[gea] tp: {frac:.0%} of state leaves sharded over "
+                f"{tp_shards(cfg)} model shards"
+            )
+        return shard_state(state, sh), sh
+    from gea.parallel.dp import replicate_state
+
+    return replicate_state(state, mesh), None
 
 
 def maybe_resume(cfg, state):
