@@ -173,13 +173,20 @@ def run(cfg: TrainGLISConfig):
     )
     fused = fuse_input_pipeline(cfg, step, axis_name=axis)
     if cfg.debug_checks:
-        if mesh is not None:
-            raise SystemExit("--debug_checks is single-device only")
+        if tp_shards(cfg) > 1:
+            raise SystemExit("--debug_checks does not support --model_shards")
         if dispatch_chunk(cfg) > 1:
             raise SystemExit("--debug_checks requires --steps_per_dispatch 1")
-        from gea.utils.debug import checked
+        from gea.utils.debug import checked, make_checked_parallel_input_step
 
-        step_fn = checked(fused)
+        if mesh is not None:
+            # DP sanitizer (round 3): checkify runs INSIDE shard_map and
+            # the host re-raises the first failing device's error with
+            # its producing op + device index.
+            state, _ = place_state(cfg, mesh, state)
+            step_fn = make_checked_parallel_input_step(fused, mesh)
+        else:
+            step_fn = checked(fused)
     else:
         state, shardings = place_state(cfg, mesh, state)
         step_fn = make_step_dispatcher(cfg, mesh, fused, shardings)

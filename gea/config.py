@@ -337,8 +337,10 @@ class TrainGLISConfig(ModelConfig, DataConfig):
     debug_checks: bool = _flag(
         False,
         "instrument the train step with checkify float checks — raises at "
-        "the first NaN/Inf-producing op with its source location "
-        "(single-device debugging mode, ~2x step cost)",
+        "the first NaN/Inf-producing op with its source location; under "
+        "data parallelism the first failing device is identified "
+        "(debugging mode, ~2x step cost; not with --model_shards or "
+        "--steps_per_dispatch > 1)",
     )
 
 
@@ -474,8 +476,10 @@ class TrainRConfig(ModelConfig, DataConfig):
     debug_checks: bool = _flag(
         False,
         "instrument the train step with checkify float checks — raises at "
-        "the first NaN/Inf-producing op with its source location "
-        "(single-device debugging mode, ~2x step cost)",
+        "the first NaN/Inf-producing op with its source location; under "
+        "data parallelism the first failing device is identified "
+        "(debugging mode, ~2x step cost; not with --model_shards or "
+        "--steps_per_dispatch > 1)",
     )
 
 

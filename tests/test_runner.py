@@ -292,3 +292,37 @@ def test_stop_patience_early_stop(tmp_path):
     from gea.utils.checkpoint import latest_step
 
     assert latest_step(run_dir) == 8  # final state saved on early stop
+
+
+def test_checked_parallel_step_localizes_failing_device():
+    """--debug_checks under the DP mesh (round 3): checkify runs INSIDE
+    shard_map; a NaN born on one replica is re-raised host-side with that
+    device's index and producing op, while clean runs pass through."""
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import checkify
+
+    from gea.parallel.mesh import DATA_AXIS, make_mesh
+    from gea.utils.debug import make_checked_parallel_input_step
+
+    mesh = make_mesh(8)
+
+    def step_fn(state, raw, rng):
+        y = jnp.log(raw)  # NaN for negative entries
+        return state, {"loss": lax.pmean(jnp.mean(y), DATA_AXIS)}
+
+    fn = make_checked_parallel_input_step(step_fn, mesh)
+    state = jnp.zeros(())
+    rng = jax.random.PRNGKey(0)
+
+    good = np.ones((16, 2), np.float32)
+    _, metrics = fn(state, good, rng)
+    assert float(metrics["loss"]) == 0.0
+
+    bad = good.copy()
+    bad[11] = -1.0  # lands on device 5 (shards of 2 rows)
+    with pytest.raises(checkify.JaxRuntimeError) as e:
+        fn(state, bad, rng)
+    msg = str(e.value)
+    assert "source device 5" in msg  # the shard that held the bad value
+    assert "log" in msg  # producing op, not the downstream psum
