@@ -1,0 +1,146 @@
+"""Deployment loader for `gea.cli.export_model` artifacts.
+
+An exported run is a directory containing a serialized `jax.export`
+StableHLO program (weights baked in as constants) plus a JSON manifest.
+Loading it needs jax + this file only — no Flax, no model code, no
+checkpoint machinery, no config.json. This is the TPU-native serving
+surface; the reference's only deployment story is re-running its samplers
+against torch checkpoints (`g_lis/sample.py`, SURVEY.md §3.2), which drags
+the whole training codebase into production.
+
+    from gea import serve
+    model = serve.load("exports/glis3_80")
+    out = model(z)                      # dict: images[, stages][, scores]
+    imgs = model.sample(64, seed=0)["images"]   # uint8 (64, H, W, 3)
+
+The exported program was serialized with a symbolic batch dimension by
+default, so any batch size works; `manifest["batch"]` > 0 means the export
+was pinned to one batch size instead (exact-shape serving, e.g. for a
+fixed-batch TPU inference server).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+ARTIFACT = "model.stablehlo"
+MANIFEST = "manifest.json"
+
+
+def write_artifact(out_dir: str, payload: bytes, manifest: Dict[str, Any]) -> None:
+    """Write the serialized program + manifest (used by the export CLI)."""
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, ARTIFACT), "wb") as f:
+        f.write(payload)
+    with open(os.path.join(out_dir, MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+
+
+class ServingModel:
+    """A deserialized export: callable on z (+ spatial noise when the run
+    was trained with --spatial_code), returns a dict of numpy arrays:
+
+      images  uint8 (B, H, W, 3)        final LIS stage, [0, 255]
+      stages  uint8 (S, B, H, W, 3)     every LIS stage (--all_stages)
+      scores  float32 (B,)              sigmoid D realism (--with_scores)
+    """
+
+    def __init__(self, exported: Any, manifest: Dict[str, Any]):
+        self.exported = exported
+        self.manifest = manifest
+
+    @property
+    def code_size(self) -> int:
+        return int(self.manifest["code_size"])
+
+    @property
+    def image_size(self) -> int:
+        return int(self.manifest["image_size"])
+
+    @property
+    def spatial_noise_shape(self) -> Optional[tuple]:
+        sn = self.manifest.get("spatial_noise_shape")
+        return tuple(sn) if sn else None
+
+    def __call__(
+        self, z: np.ndarray, spatial_noise: Optional[np.ndarray] = None
+    ) -> Dict[str, np.ndarray]:
+        z = np.asarray(z, np.float32)
+        if z.ndim != 2 or z.shape[1] != self.code_size:
+            raise ValueError(
+                f"z must be (batch, {self.code_size}), got {z.shape}"
+            )
+        fixed = int(self.manifest.get("batch", 0))
+        if fixed and z.shape[0] != fixed:
+            raise ValueError(
+                f"this artifact was exported with a pinned batch of {fixed} "
+                f"(manifest['batch']); got {z.shape[0]}"
+            )
+        args = [z]
+        if self.spatial_noise_shape is not None:
+            if spatial_noise is None:
+                raise ValueError(
+                    "this run was trained with --spatial_code; pass "
+                    f"spatial_noise of shape (batch, *{self.spatial_noise_shape})"
+                )
+            args.append(np.asarray(spatial_noise, np.float32))
+        elif spatial_noise is not None:
+            raise ValueError("this artifact takes no spatial noise")
+        out = self.exported.call(*args)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def sample(
+        self, count: int, seed: int = 0, batch_size: int = 64
+    ) -> Dict[str, np.ndarray]:
+        """Draw z ~ N(0, 1) on the host and render `count` samples in
+        batches; returns the same dict with arrays concatenated over batch."""
+        fixed = int(self.manifest.get("batch", 0))
+        if fixed:
+            batch_size = fixed
+        rng = np.random.default_rng(seed)
+        chunks = []
+        done = 0
+        while done < count:
+            n = min(batch_size, count - done)
+            if fixed and n < fixed:  # pinned batch: render full, trim below
+                n = fixed
+            z = rng.standard_normal((n, self.code_size)).astype(np.float32)
+            sn = None
+            if self.spatial_noise_shape is not None:
+                sn = rng.standard_normal(
+                    (n, *self.spatial_noise_shape)
+                ).astype(np.float32)
+            chunks.append(self(z, sn))
+            done += n
+        out: Dict[str, np.ndarray] = {}
+        for k in chunks[0]:
+            axis = 1 if k == "stages" else 0
+            out[k] = np.concatenate([c[k] for c in chunks], axis=axis)
+            out[k] = out[k][tuple(slice(None) for _ in range(axis)) + (slice(0, count),)]
+        return out
+
+
+def load(path: str) -> ServingModel:
+    """Load an exported run directory (or a direct path to the artifact)."""
+    if os.path.isdir(path):
+        art, man = os.path.join(path, ARTIFACT), os.path.join(path, MANIFEST)
+    else:
+        art, man = path, os.path.join(os.path.dirname(path), MANIFEST)
+    if not os.path.exists(art):
+        raise FileNotFoundError(
+            f"no exported model at {art!r} — create one with "
+            "`python -m gea.cli.export_model --load_path <run> --out <dir>`"
+        )
+    from jax import export as jax_export
+
+    with open(art, "rb") as f:
+        exported = jax_export.deserialize(f.read())
+    manifest: Dict[str, Any] = {}
+    if os.path.exists(man):
+        with open(man) as f:
+            manifest = json.load(f)
+    return ServingModel(exported, manifest)

@@ -1,0 +1,114 @@
+"""Export/serving surface (gea.cli.export_model + gea.serve): a trained run
+round-trips through serialized StableHLO — the artifact reproduces the live
+model bit-for-intent, serves any batch size via the symbolic batch dim, and
+carries the D realism scores for error-avoidance serving (reference C13)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+TINY = [
+    "--dataset", "synthetic", "--image_size", "16", "--code_size", "16",
+    "--num_features", "4", "--max_features", "16", "--batch_size", "4",
+    "--dtype", "float32", "--log_interval", "1", "--vis_rows", "2",
+    "--num_devices", "1", "--r_iterations", "1", "--niter", "2",
+    "--vis_interval", "2", "--save_interval", "2",
+]
+
+
+@pytest.fixture(scope="module")
+def glis_run(tmp_path_factory):
+    from gea.cli import train_glis
+
+    run = str(tmp_path_factory.mktemp("export") / "g")
+    train_glis.main(TINY + ["--save_path", run])
+    return run
+
+
+@pytest.mark.slow
+def test_export_roundtrip_symbolic_batch(glis_run, tmp_path):
+    from gea import serve
+    from gea.cli import export_model
+
+    out = str(tmp_path / "art")
+    export_model.main(
+        ["--load_path", glis_run, "--out", out, "--with_scores", "1",
+         "--all_stages", "1", "--platforms", "cpu"]
+    )
+    assert os.path.exists(os.path.join(out, serve.ARTIFACT))
+    with open(os.path.join(out, serve.MANIFEST)) as f:
+        manifest = json.load(f)
+    assert manifest["code_size"] == 16
+    assert manifest["outputs"] == ["images", "stages", "scores"]
+    assert manifest["batch"] == 0  # symbolic
+    assert manifest["step"] == 2
+
+    model = serve.load(out)
+    # two different batch sizes through ONE artifact
+    for n in (2, 5):
+        z = np.random.default_rng(n).standard_normal((n, 16)).astype(np.float32)
+        got = model(z)
+        assert got["images"].shape == (n, 16, 16, 3)
+        assert got["images"].dtype == np.uint8
+        assert got["stages"].shape[0] == manifest["n_stages"]
+        assert got["scores"].shape == (n,)
+        assert np.all((got["scores"] >= 0) & (got["scores"] <= 1))
+
+    # the artifact matches the live flax render (selfcheck already asserted
+    # <=1 uint8; verify independently here against load_generator)
+    from gea.cli.sample import load_generator
+    import jax.numpy as jnp
+
+    generator, g_vars, _ = load_generator(glis_run)
+    z = np.random.default_rng(7).standard_normal((3, 16)).astype(np.float32)
+    live, _ = generator.render(g_vars, jnp.asarray(z))
+    want = np.clip((np.asarray(live[-1]) + 1) * 127.5, 0, 255).astype(np.uint8)
+    got = model(z)["images"]
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+    # convenience sampler: count not divisible by batch_size
+    s = model.sample(6, seed=1, batch_size=4)
+    assert s["images"].shape == (6, 16, 16, 3)
+    assert s["stages"].shape[1] == 6
+
+    # input validation
+    with pytest.raises(ValueError):
+        model(z[:, :8])
+    with pytest.raises(ValueError):
+        model(z, np.zeros((3, 4, 4, 2), np.float32))
+
+
+@pytest.mark.slow
+def test_export_pinned_batch_and_spatial_noise(tmp_path):
+    from gea import serve
+    from gea.cli import export_model, train_glis
+
+    run = str(tmp_path / "g_sn")
+    train_glis.main(TINY + ["--spatial_code", "2", "--save_path", run])
+
+    out = str(tmp_path / "art_sn")
+    export_model.main(
+        ["--load_path", run, "--out", out, "--with_scores", "0",
+         "--platforms", "cpu", "--batch", "4"]
+    )
+    model = serve.load(out)
+    assert model.spatial_noise_shape is not None
+    b, *sn_shape = (4, *model.spatial_noise_shape)
+    rng = np.random.default_rng(0)
+    z = rng.standard_normal((b, 16)).astype(np.float32)
+    sn = rng.standard_normal((b, *sn_shape)).astype(np.float32)
+    got = model(z, sn)
+    assert got["images"].shape == (4, 16, 16, 3)
+    assert "scores" not in got
+
+    # pinned batch: wrong size and missing spatial noise both rejected
+    with pytest.raises(ValueError):
+        model(z[:2], sn[:2])
+    with pytest.raises(ValueError):
+        model(z)
+
+    # sample() respects the pinned batch and trims to count
+    s = model.sample(6, seed=2)
+    assert s["images"].shape == (6, 16, 16, 3)
