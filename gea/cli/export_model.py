@@ -14,6 +14,12 @@ batch dimension so one artifact serves any batch size. Loading it back
 
 The error-avoidance serving loop (reference C13) then runs entirely against
 the artifact: render, read `scores`, keep the best — see gea/serve.py.
+With `--r_path <r_separate_run>` the input-space correction chain is baked
+in too (blend z toward R(G(z)) for --correction_steps, then render), so a
+single artifact serves the full corrected pipeline. `--ri_path
+<r_iterative_run>` exports the jointly-trained iterative chain
+z_t = z_{t-1} + R(G(z_{t-1})) instead (reference C7) — all three model
+families ship through the same artifact format.
 """
 
 from __future__ import annotations
@@ -49,8 +55,48 @@ def _resolve_step(load_path: str, step: int) -> Optional[int]:
 
 def main(argv: Optional[list] = None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--load_path", required=True, help="trained G-LIS run dir")
+    p.add_argument(
+        "--load_path", default="",
+        help="trained G-LIS run dir (optional when --r_path is given: "
+        "defaults to the R run's recorded frozen-G run + snapshot)",
+    )
     p.add_argument("--out", required=True, help="output artifact directory")
+    p.add_argument(
+        "--r_path", default="",
+        help="R-separate run dir: bake input-space correction into the "
+        "artifact — each serving call blends z toward R(G(z)) for "
+        "--correction_steps before the final render (reference C13 "
+        "correction, gea/models/reverter.py::blend_correction)",
+    )
+    p.add_argument(
+        "--r_step", type=int, default=0,
+        help="R checkpoint step (0 = latest, -1 = best per --fid_interval)",
+    )
+    p.add_argument(
+        "--correction_steps", type=int, default=1,
+        help="with --r_path: number of correction iterations baked in",
+    )
+    p.add_argument(
+        "--correction_strength", type=float, default=0.3,
+        help="with --r_path: blend weight toward the corrected code",
+    )
+    p.add_argument(
+        "--shell_renorm", type=int, default=1,
+        help="with --r_path: re-project blended codes onto ||z||=sqrt(d)",
+    )
+    p.add_argument(
+        "--ri_path", default="",
+        help="R-iterative run dir (jointly trained G/D/R): export the "
+        "iterative correction chain z_t = z_{t-1} + R(G(z_{t-1})) — "
+        "`images` is the chain-end render, `stages` the per-link view "
+        "(reference C7). Mutually exclusive with --load_path/--r_path",
+    )
+    p.add_argument(
+        "--chain_links", type=int, default=0,
+        help="with --ri_path: correction links to unroll (0 = the run's "
+        "trained --r_chain_length; eval_chain shows longer chains keep "
+        "helping on some runs)",
+    )
     p.add_argument(
         "--step", type=int, default=0,
         help="checkpoint step (0 = latest, -1 = best per --fid_interval)",
@@ -86,17 +132,111 @@ def main(argv: Optional[list] = None):
         "the batch dim is symbolic)",
     )
     a = p.parse_args(argv)
+    if a.ri_path and (a.load_path or a.r_path):
+        raise SystemExit("--ri_path is mutually exclusive with "
+                         "--load_path/--r_path")
 
-    step = _resolve_step(a.load_path, a.step)
-    restored = restore_checkpoint(a.load_path, target=None, step=step)
-    generator, g_vars, train_cfg = load_generator(
-        a.load_path, step=step, restored=restored, use_ema=a.use_ema
-    )
-    d_apply = None
-    if a.with_scores:
-        discriminator, d_vars = load_discriminator(
-            a.load_path, step=step, restored=restored
+    reverter = r_vars = None
+    correction_meta = chain_meta = None
+
+    if a.ri_path:
+        if a.use_ema:
+            raise SystemExit("--use_ema: R-iterative runs keep no EMA shadow")
+        # jointly trained G/D/R (reference C7): everything lives in the
+        # one R-iterative checkpoint; its generator has no LIS modules.
+        from gea.config import TrainRIterativeConfig
+        from gea.models import Discriminator, GeneratorLIS, Reverter
+        from gea.models.reverter import iterative_chain
+
+        load_path = a.ri_path
+        train_cfg = TrainRIterativeConfig.load(
+            os.path.join(load_path, "config.json")
         )
+        step = _resolve_step(load_path, a.step)
+        restored = restore_checkpoint(load_path, target=None, step=step)
+        generator = GeneratorLIS.from_config(train_cfg, r_iterations=0)
+        g_vars = {
+            "params": restored["params_g"],
+            **(restored.get("extras_g") or {}),
+        }
+        reverter = Reverter.from_config(train_cfg)
+        r_vars = {
+            "params": restored["params_r"],
+            **(restored.get("extras_r") or {}),
+        }
+        links = a.chain_links or train_cfg.r_chain_length
+        chain_meta = {"links": links, "trained_links": train_cfg.r_chain_length}
+        d_vars_ri = {
+            "params": restored["params_d"],
+            **(restored.get("extras_d") or {}),
+        }
+        discriminator = Discriminator.from_config(train_cfg)
+
+        def render_stages(z, spatial_noise=None):
+            return iterative_chain(
+                generator, reverter, g_vars, r_vars, z, spatial_noise, links
+            )
+
+        d_params = (discriminator, d_vars_ri) if a.with_scores else None
+        n_stages = links + 1
+    else:
+        load_path = a.load_path
+        g_step_flag = a.step
+        if a.r_path:
+            from gea.cli.sample_r_separate import load_reverter
+
+            r_step = _resolve_step(a.r_path, a.r_step)
+            reverter, r_vars, r_cfg = load_reverter(a.r_path, step=r_step)
+            correction_meta = {
+                "r_run": os.path.abspath(a.r_path),
+                "r_step": r_step,
+                "steps": a.correction_steps,
+                "strength": a.correction_strength,
+                "shell_renorm": bool(a.shell_renorm),
+            }
+            if not load_path:
+                # the sampler contract: correct the same frozen-G snapshot
+                # R was trained against (recorded in the R run's config)
+                load_path = r_cfg.g_path
+                g_step_flag = getattr(r_cfg, "g_step", 0)
+        if not load_path:
+            raise SystemExit("--load_path is required (or --r_path/"
+                             "--ri_path with a recorded run)")
+
+        step = _resolve_step(load_path, g_step_flag)
+        restored = restore_checkpoint(load_path, target=None, step=step)
+        generator, g_vars, train_cfg = load_generator(
+            load_path, step=step, restored=restored, use_ema=a.use_ema
+        )
+        n_stages = generator.n_stages
+
+        def render_stages(z, spatial_noise=None):
+            if reverter is not None:
+                # R-separate correction chain, same math as the sampler /
+                # fid tracker (reverter.blend_correction — the one shared
+                # definition): blend z toward R(G(z)), then render.
+                from gea.models.reverter import blend_correction
+
+                for _ in range(a.correction_steps):
+                    imgs, _ = generator.render(
+                        g_vars, z, spatial_noise=spatial_noise
+                    )
+                    z_hat = reverter.apply(r_vars, imgs[-1], train=False)
+                    z = blend_correction(
+                        z, z_hat, a.correction_strength, bool(a.shell_renorm)
+                    )
+            images, _ = generator.render(g_vars, z, spatial_noise=spatial_noise)
+            return images
+
+        d_params = None
+        if a.with_scores:
+            d_params = load_discriminator(
+                load_path, step=step, restored=restored
+            )
+
+    d_apply = None
+    if d_params is not None:
+        discriminator, d_vars = d_params
         if getattr(train_cfg, "gan_loss", "bce") != "bce":
             print(
                 f"[gea] note: this run used --gan_loss {train_cfg.gan_loss}; "
@@ -115,7 +255,7 @@ def main(argv: Optional[list] = None):
     takes_sn = generator.spatial_noise_shape(1) is not None
 
     def serve_fn(z, spatial_noise=None):
-        images, _ = generator.render(g_vars, z, spatial_noise=spatial_noise)
+        images = render_stages(z, spatial_noise=spatial_noise)
         out = {"images": to_uint8(images[-1])}
         if a.all_stages:
             out["stages"] = to_uint8(images)
@@ -150,16 +290,18 @@ def main(argv: Optional[list] = None):
         "batch": a.batch,
         "code_size": train_cfg.code_size,
         "image_size": train_cfg.image_size,
-        "n_stages": generator.n_stages,
+        "n_stages": n_stages,
         "spatial_code": train_cfg.spatial_code,
         "spatial_noise_shape": list(sn_shape) if sn_shape else None,
         "outputs": ["images"]
         + (["stages"] if a.all_stages else [])
         + (["scores"] if d_apply is not None else []),
         "use_ema": bool(a.use_ema),
-        "source_run": os.path.abspath(a.load_path),
+        "source_run": os.path.abspath(load_path),
         "step": step,
         "gan_loss": getattr(train_cfg, "gan_loss", "bce"),
+        "correction": correction_meta,
+        "chain": chain_meta,
     }
     serve.write_artifact(a.out, payload, manifest)
     print(
@@ -179,11 +321,15 @@ def main(argv: Optional[list] = None):
                 else None
             )
             got = model(z, sn)
-            images, _ = generator.render(
-                g_vars, jnp.asarray(z),
-                spatial_noise=jnp.asarray(sn) if sn is not None else None,
+            live = serve_fn(
+                jnp.asarray(z),
+                **(
+                    {"spatial_noise": jnp.asarray(sn)}
+                    if sn is not None
+                    else {}
+                ),
             )
-            want = np.asarray(to_uint8(images[-1]))
+            want = np.asarray(live["images"])
             # uint8 rounding at clip boundaries can differ by 1 between
             # the artifact's lowering and the live jit.
             diff = np.abs(got["images"].astype(int) - want.astype(int))

@@ -112,3 +112,106 @@ def test_export_pinned_batch_and_spatial_noise(tmp_path):
     # sample() respects the pinned batch and trims to count
     s = model.sample(6, seed=2)
     assert s["images"].shape == (6, 16, 16, 3)
+
+
+@pytest.mark.slow
+def test_export_with_baked_r_correction(glis_run, tmp_path):
+    """--r_path bakes the R-separate correction chain into the artifact:
+    output matches blend_correction-then-render computed live, and the
+    frozen-G run is picked up from the R run's config (no --load_path)."""
+    from gea import serve
+    from gea.cli import export_model, train_r_separate
+
+    r_dir = str(tmp_path / "r")
+    train_r_separate.main(
+        TINY + ["--g_path", glis_run, "--r_hidden", "8",
+                "--save_path", r_dir]
+    )
+
+    out = str(tmp_path / "art_r")
+    export_model.main(
+        ["--r_path", r_dir, "--out", out, "--platforms", "cpu",
+         "--correction_steps", "2", "--correction_strength", "0.4",
+         "--with_scores", "0"]
+    )
+    model = serve.load(out)
+    corr = model.manifest["correction"]
+    assert corr["steps"] == 2 and corr["strength"] == 0.4
+    assert corr["shell_renorm"] is True
+
+    import jax.numpy as jnp
+    from gea.cli.sample import load_generator
+    from gea.cli.sample_r_separate import load_reverter
+    from gea.models.reverter import blend_correction
+
+    z = np.random.default_rng(5).standard_normal((3, 16)).astype(np.float32)
+    got = model(z)["images"]
+
+    generator, g_vars, _ = load_generator(glis_run)
+    reverter, r_vars, _ = load_reverter(r_dir)
+    zc = jnp.asarray(z)
+    for _ in range(2):
+        imgs, _ = generator.render(g_vars, zc)
+        zc = blend_correction(zc, reverter.apply(r_vars, imgs[-1], train=False), 0.4)
+    imgs, _ = generator.render(g_vars, zc)
+    want = np.clip((np.asarray(imgs[-1]) + 1) * 127.5, 0, 255).astype(np.uint8)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+    # the corrected artifact is not the plain render (the chain engaged)
+    plain, _ = generator.render(g_vars, jnp.asarray(z))
+    plain = np.clip((np.asarray(plain[-1]) + 1) * 127.5, 0, 255).astype(np.uint8)
+    assert np.abs(got.astype(int) - plain.astype(int)).max() > 1
+
+
+@pytest.mark.slow
+def test_export_r_iterative_chain(tmp_path):
+    """--ri_path exports the jointly-trained G/D/R iterative chain: the
+    per-link `stages` output matches the sampler's iterative_chain and
+    `images` is the chain end."""
+    from gea import serve
+    from gea.cli import export_model, train_r_iterative
+
+    ri_dir = str(tmp_path / "ri")
+    train_r_iterative.main(
+        TINY + ["--r_chain_length", "2", "--r_hidden", "8",
+                "--save_path", ri_dir]
+    )
+
+    out = str(tmp_path / "art_ri")
+    export_model.main(
+        ["--ri_path", ri_dir, "--out", out, "--platforms", "cpu",
+         "--all_stages", "1"]
+    )
+    model = serve.load(out)
+    assert model.manifest["chain"] == {"links": 2, "trained_links": 2}
+    assert model.manifest["n_stages"] == 3
+
+    z = np.random.default_rng(9).standard_normal((4, 16)).astype(np.float32)
+    got = model(z)
+    assert got["stages"].shape == (3, 4, 16, 16, 3)
+    assert got["scores"].shape == (4,)
+    np.testing.assert_array_equal(got["stages"][-1], got["images"])
+
+    import jax.numpy as jnp
+    from gea.config import TrainRIterativeConfig
+    from gea.models import GeneratorLIS, Reverter
+    from gea.models.reverter import iterative_chain
+    from gea.utils.checkpoint import restore_checkpoint
+
+    cfg = TrainRIterativeConfig.load(os.path.join(ri_dir, "config.json"))
+    restored = restore_checkpoint(ri_dir, target=None)
+    generator = GeneratorLIS.from_config(cfg, r_iterations=0)
+    reverter = Reverter.from_config(cfg)
+    g_vars = {"params": restored["params_g"], **(restored.get("extras_g") or {})}
+    r_vars = {"params": restored["params_r"], **(restored.get("extras_r") or {})}
+    want = iterative_chain(
+        generator, reverter, g_vars, r_vars, jnp.asarray(z), None, 2
+    )
+    want = np.clip((np.asarray(want) + 1) * 127.5, 0, 255).astype(np.uint8)
+    assert np.abs(got["stages"].astype(int) - want.astype(int)).max() <= 1
+
+    # mutual exclusivity guard
+    with pytest.raises(SystemExit):
+        export_model.main(
+            ["--ri_path", ri_dir, "--load_path", ri_dir, "--out", out]
+        )
