@@ -28,24 +28,48 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def time_reps(fn, z, reps: int, steps: int) -> dict:
+def _sync(out):
+    """Barrier on real device execution.
+
+    On the tunneled runtime `jax.block_until_ready` returns before the
+    program has executed (same finding as bench.py:96); a 1-element D2H
+    readback of an output leaf cannot — the value doesn't exist until
+    the program finishes.
+    """
     import jax
 
-    fn(z)  # warmup/compile
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    jax.device_get(leaf.ravel()[0])
+
+
+def time_reps(fn, z, reps: int, steps: int) -> dict:
+    out = fn(z)  # warmup/compile
+    _sync(out)
     rates = []
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(steps):
             out = fn(z)
-        jax.block_until_ready(out)
+        _sync(out)  # one sync RTT per rep, amortized over `steps` calls
         dt = time.perf_counter() - t0
         rates.append(steps * z.shape[0] / dt)
+    # Per-request latency: sync every call — what a single online request
+    # pays, including the host<->device round trip.
+    lat = []
+    for _ in range(max(reps, 5)):
+        t0 = time.perf_counter()
+        _sync(fn(z))
+        lat.append(1e3 * (time.perf_counter() - t0))
     med = statistics.median(rates)
     return {
         "median": round(med, 2),
         "best": round(max(rates), 2),
         "reps": [round(r, 2) for r in rates],
         "spread_pct": round(100 * (max(rates) - min(rates)) / med, 2),
+        "request_latency_ms": {
+            "median": round(statistics.median(lat), 2),
+            "best": round(min(lat), 2),
+        },
     }
 
 
