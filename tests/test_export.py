@@ -81,6 +81,41 @@ def test_export_roundtrip_symbolic_batch(glis_run, tmp_path):
 
 
 @pytest.mark.slow
+def test_stream_pipelined_matches_sequential(glis_run, tmp_path):
+    """stream() is the production serving path: same results as
+    one-at-a-time __call__, order preserved, mixed batch sizes through
+    the symbolic batch dim, and the tail drains after the input ends."""
+    from gea import serve
+    from gea.cli import export_model
+
+    out = str(tmp_path / "art_stream")
+    export_model.main(
+        ["--load_path", glis_run, "--out", out, "--with_scores", "1",
+         "--all_stages", "1", "--platforms", "cpu", "--selfcheck", "0"]
+    )
+    model = serve.load(out)
+    rng = np.random.default_rng(3)
+    batches = [
+        rng.standard_normal((n, 16)).astype(np.float32) for n in (2, 5, 1, 4)
+    ]
+    streamed = list(model.stream(iter(batches), depth=2))
+    assert len(streamed) == len(batches)
+    for z, got in zip(batches, streamed):
+        want = model(z)
+        assert got["images"].shape[0] == z.shape[0]  # order preserved
+        for k in want:
+            np.testing.assert_array_equal(got[k], want[k])
+
+    # validation surfaces inside the generator
+    with pytest.raises(ValueError):
+        list(model.stream(iter([batches[0][:, :8]])))
+    with pytest.raises(ValueError):
+        list(model.stream(iter([(batches[0], np.zeros((2, 4, 4, 2)))])))
+    with pytest.raises(ValueError):
+        list(model.stream(iter(batches), depth=0))
+
+
+@pytest.mark.slow
 def test_export_pinned_batch_and_spatial_noise(tmp_path):
     from gea import serve
     from gea.cli import export_model, train_glis
