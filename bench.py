@@ -30,8 +30,12 @@ from __future__ import annotations
 import json
 import os
 import statistics
+import subprocess
+import sys
+import threading
 import time
 
+import gea  # noqa: F401  (applies the GEA_PLATFORM override before jax init)
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -118,6 +122,11 @@ def time_config(use_pallas: bool, share_g_forward, reps: int) -> dict:
 
 def main() -> None:
     platform = jax.devices()[0].platform
+    # Watchdog heartbeat: the tunneled runtime can wedge so that device
+    # acquisition blocks forever (observed: jax.devices() never returns
+    # while only the xla_bridge warning has printed). The parent process
+    # watches for this marker.
+    print("[bench] devices-ok " + platform, file=sys.stderr, flush=True)
 
     default = time_config(use_pallas=False, share_g_forward=None, reps=REPS)
 
@@ -169,5 +178,70 @@ def main() -> None:
     print(json.dumps(result))
 
 
+def _watchdog() -> int:
+    """Run main() in a child process; kill + retry if device init hangs.
+
+    The tunneled TPU runtime sometimes wedges so that a fresh client
+    blocks forever acquiring the device (no CPU use, only the xla_bridge
+    warning printed). A driver calling bench.py would stall with it.
+    The child must emit the "[bench] devices-ok" heartbeat within
+    GEA_BENCH_INIT_TIMEOUT seconds (default 600) or it is killed (by
+    exact pid) and retried after a quiet pause, GEA_BENCH_ATTEMPTS times.
+    Once init succeeds there is no further timeout — long compiles and
+    timing reps run to completion.
+    """
+    init_timeout = float(os.environ.get("GEA_BENCH_INIT_TIMEOUT", "600"))
+    attempts = int(os.environ.get("GEA_BENCH_ATTEMPTS", "3"))
+    for attempt in range(1, attempts + 1):
+        env = dict(os.environ, GEA_BENCH_CHILD="1")
+        child = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)],
+            stderr=subprocess.PIPE, env=env, text=True,
+        )
+        ok = threading.Event()
+
+        def relay(pipe=child.stderr):
+            for line in pipe:
+                if "[bench] devices-ok" in line:
+                    ok.set()
+                sys.stderr.write(line)
+                sys.stderr.flush()
+
+        t = threading.Thread(target=relay, daemon=True)
+        t.start()
+        deadline = time.time() + init_timeout
+        while time.time() < deadline and not ok.is_set():
+            if child.poll() is not None:
+                break
+            time.sleep(2)
+        if ok.is_set() or child.poll() is not None:
+            return child.wait()
+        print(
+            f"[bench] watchdog: no device after {init_timeout:.0f}s "
+            f"(attempt {attempt}/{attempts}) — killing pid {child.pid} "
+            "and retrying",
+            file=sys.stderr, flush=True,
+        )
+        child.kill()
+        child.wait()
+        time.sleep(60)
+    print(
+        json.dumps({
+            "metric": "images/sec/chip, G+D alternating step (UNMEASURED: "
+            "device init hung on every watchdog attempt)",
+            "value": 0.0,
+            "unit": "images/sec/chip",
+            "vs_baseline": 0.0,
+            "error": f"device acquisition hung {attempts}x{init_timeout:.0f}s",
+        })
+    )
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("GEA_BENCH_CHILD") or os.environ.get(
+        "GEA_BENCH_WATCHDOG", "1"
+    ) == "0":
+        main()
+    else:
+        raise SystemExit(_watchdog())
