@@ -23,7 +23,7 @@ import numpy as np
 from gea.cli.sample import load_generator
 from gea.data.ondevice import preprocess_batch
 from gea.data.pipeline import device_crop_size, make_dataset
-from gea.eval.fid import compute_fid
+from gea.eval.fid import MetricBundle
 
 
 def fake_batch_iter(generator, variables, cfg, batch_size: int, seed: int):
@@ -242,49 +242,32 @@ def main(argv: Optional[list] = None):
             generator, variables, train_cfg, a.batch_size, a.seed
         )
 
-    fid, label = compute_fid(
-        real_batch_iter(data_cfg, a.seed),
-        make_fakes(),
-        image_size=train_cfg.image_size,
-        num_samples=a.num_samples,
+    # One pass over reals and one over fakes feeds every enabled metric
+    # (MetricBundle): with --second_opinion the old flow re-rendered the
+    # full fake stream and re-decoded the real dataset twice more.
+    bundle = MetricBundle(
+        train_cfg.image_size,
         extractor=a.extractor,
         inception_weights=a.inception_weights,
+        second_opinion=a.second_opinion,
     )
+    bundle.set_reals(real_batch_iter(data_cfg, a.seed), a.num_samples)
+    fakes = bundle.group()
+    fakes.consume(make_fakes(), a.num_samples)
+    scores = bundle.row(fakes)
     result = {
-        "metric": label,
-        "value": round(fid, 4),
+        "metric": bundle.label,
+        "value": scores["frechet"],
         "num_samples": a.num_samples,
         "load_path": os.path.abspath(a.load_path),
     }
     if a.second_opinion:
-        from gea.eval.fid import (
-            compute_features,
-            kid_score,
-            make_feature_extractor,
-        )
-
-        fid_b, label_b = compute_fid(
-            real_batch_iter(data_cfg, a.seed),
-            make_fakes(),
-            image_size=train_cfg.image_size,
-            num_samples=a.num_samples,
-            extractor="random-b",
-        )
-        extract, _ = make_feature_extractor(
-            train_cfg.image_size, a.extractor,
-            inception_weights=a.inception_weights,
-        )
-        rf = compute_features(
-            real_batch_iter(data_cfg, a.seed), extract, a.num_samples
-        )
-        ff = compute_features(make_fakes(), extract, a.num_samples)
-        kid_mean, kid_std = kid_score(rf, ff)
         result["second_opinion"] = {
-            "metric_b": label_b,
-            "value_b": round(fid_b, 4),
-            "kid_metric": f"KID over {label} features, x1000",
-            "kid_x1000": round(kid_mean * 1000, 4),
-            "kid_x1000_std": round(kid_std * 1000, 4),
+            "metric_b": bundle.label_b,
+            "value_b": scores["frechet_b"],
+            "kid_metric": f"KID over {bundle.label} features, x1000",
+            "kid_x1000": scores["kid_x1000"],
+            "kid_x1000_std": scores["kid_x1000_std"],
         }
     if a.r_path:
         result["r_path"] = os.path.abspath(a.r_path)

@@ -25,14 +25,7 @@ import numpy as np
 
 from gea.cli.compute_fid import real_batch_iter
 from gea.config import TrainRIterativeConfig
-from gea.eval.fid import (
-    FIDStats,
-    compute_features,
-    compute_stats,
-    frechet_distance,
-    kid_score,
-    make_feature_extractor,
-)
+from gea.eval.fid import MetricBundle
 from gea.models import Discriminator, GeneratorLIS, Reverter
 from gea.models.reverter import iterative_chain
 from gea.utils.checkpoint import restore_checkpoint
@@ -93,15 +86,15 @@ def main(argv: Optional[list] = None):
         ).reshape(n_links, -1)
         return imgs, scores
 
-    extract, label = make_feature_extractor(
-        cfg.image_size, a.extractor, inception_weights=a.inception_weights
+    # Shared metric plumbing (MetricBundle): one extraction per batch
+    # feeds every metric; reals decoded once (same as eval_stages).
+    bundle = MetricBundle(
+        cfg.image_size,
+        extractor=a.extractor,
+        inception_weights=a.inception_weights,
+        second_opinion=a.second_opinion,
     )
-    extract_b = label_b = None
-    if a.second_opinion:
-        extract_b, label_b = make_feature_extractor(cfg.image_size, "random-b")
-    link_stats = [None] * n_links
-    link_stats_b = [None] * n_links
-    link_feats = [[] for _ in range(n_links)]
+    link_groups = [bundle.group() for _ in range(n_links)]
     d_scores = [[] for _ in range(n_links)]
 
     rng = jax.random.PRNGKey(a.seed)
@@ -120,16 +113,7 @@ def main(argv: Optional[list] = None):
         scores = np.asarray(jax.device_get(scores))
         for t in range(n_links):
             d_scores[t].append(scores[t])
-            feats = np.asarray(jax.device_get(extract(imgs[t])))
-            if link_stats[t] is None:
-                link_stats[t] = FIDStats.empty(feats.shape[-1])
-            link_stats[t].update(feats)
-            if a.second_opinion:
-                link_feats[t].append(feats.astype(np.float64))
-                fb = np.asarray(jax.device_get(extract_b(imgs[t])))
-                if link_stats_b[t] is None:
-                    link_stats_b[t] = FIDStats.empty(fb.shape[-1])
-                link_stats_b[t].update(fb)
+            link_groups[t].update(imgs[t])
         done += n
 
     def make_reals():
@@ -142,11 +126,7 @@ def main(argv: Optional[list] = None):
             a.seed,
         )
 
-    real_stats = compute_stats(make_reals(), extract, a.num_samples)
-    real_stats_b = real_feats = None
-    if a.second_opinion:
-        real_stats_b = compute_stats(make_reals(), extract_b, a.num_samples)
-        real_feats = compute_features(make_reals(), extract, a.num_samples)
+    bundle.set_reals(make_reals(), a.num_samples)
 
     rows = []
     for t in range(n_links):
@@ -155,35 +135,12 @@ def main(argv: Optional[list] = None):
             "d_score_mean": round(
                 float(np.mean(np.concatenate(d_scores[t]))), 4
             ),
-            "frechet": round(
-                frechet_distance(
-                    real_stats.mean,
-                    real_stats.cov,
-                    link_stats[t].mean,
-                    link_stats[t].cov,
-                ),
-                4,
-            ),
         }
-        if a.second_opinion:
-            row["frechet_b"] = round(
-                frechet_distance(
-                    real_stats_b.mean,
-                    real_stats_b.cov,
-                    link_stats_b[t].mean,
-                    link_stats_b[t].cov,
-                ),
-                4,
-            )
-            kid_mean, kid_std = kid_score(
-                real_feats, np.concatenate(link_feats[t], axis=0)
-            )
-            row["kid_x1000"] = round(kid_mean * 1000, 4)
-            row["kid_x1000_std"] = round(kid_std * 1000, 4)
+        row.update(bundle.row(link_groups[t]))
         rows.append(row)
 
     result = {
-        "metric": label,
+        "metric": bundle.label,
         "num_samples": a.num_samples,
         "lambda_r": cfg.lambda_r,
         "chain_length_trained": cfg.r_chain_length,
@@ -191,8 +148,8 @@ def main(argv: Optional[list] = None):
         "load_path": os.path.abspath(a.load_path),
     }
     if a.second_opinion:
-        result["metric_b"] = label_b
-        result["kid_metric"] = f"KID over {label} features, x1000"
+        result["metric_b"] = bundle.label_b
+        result["kid_metric"] = f"KID over {bundle.label} features, x1000"
     print(json.dumps(result))
     if a.out:
         with open(a.out, "w") as f:

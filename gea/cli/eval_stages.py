@@ -21,7 +21,7 @@ import numpy as np
 
 from gea.cli.compute_fid import real_batch_iter
 from gea.cli.sample import load_discriminator, load_generator
-from gea.eval.fid import FIDStats, compute_stats, frechet_distance, make_feature_extractor
+from gea.eval.fid import MetricBundle
 
 
 def main(argv: Optional[list] = None):
@@ -74,15 +74,16 @@ def main(argv: Optional[list] = None):
         ).reshape(n_stages, -1)
         return images, scores
 
-    extract, label = make_feature_extractor(
-        cfg.image_size, a.extractor, inception_weights=a.inception_weights
+    # MetricBundle: one feature extraction per batch feeds every enabled
+    # metric, and the real dataset is decoded exactly once (shared with
+    # compute_fid / eval_chain).
+    bundle = MetricBundle(
+        cfg.image_size,
+        extractor=a.extractor,
+        inception_weights=a.inception_weights,
+        second_opinion=a.second_opinion,
     )
-    extract_b = label_b = None
-    if a.second_opinion:
-        extract_b, label_b = make_feature_extractor(cfg.image_size, "random-b")
-    stage_stats = [None] * n_stages
-    stage_stats_b = [None] * n_stages
-    stage_feats = [[] for _ in range(n_stages)]  # raw feats for KID
+    stage_groups = [bundle.group() for _ in range(n_stages)]
     d_scores = [[] for _ in range(n_stages)]
 
     rng = jax.random.PRNGKey(a.seed)
@@ -101,16 +102,7 @@ def main(argv: Optional[list] = None):
         scores = np.asarray(jax.device_get(scores))
         for s in range(n_stages):
             d_scores[s].append(scores[s])
-            feats = np.asarray(jax.device_get(extract(images[s])))
-            if stage_stats[s] is None:
-                stage_stats[s] = FIDStats.empty(feats.shape[-1])
-            stage_stats[s].update(feats)
-            if a.second_opinion:
-                stage_feats[s].append(feats.astype(np.float64))
-                fb = np.asarray(jax.device_get(extract_b(images[s])))
-                if stage_stats_b[s] is None:
-                    stage_stats_b[s] = FIDStats.empty(fb.shape[-1])
-                stage_stats_b[s].update(fb)
+            stage_groups[s].update(images[s])
         done += n
 
     def make_reals():
@@ -123,52 +115,25 @@ def main(argv: Optional[list] = None):
             a.seed,
         )
 
-    real_stats = compute_stats(make_reals(), extract, a.num_samples)
-    real_stats_b = real_feats = None
-    if a.second_opinion:
-        from gea.eval.fid import compute_features, kid_score
-
-        real_stats_b = compute_stats(make_reals(), extract_b, a.num_samples)
-        real_feats = compute_features(make_reals(), extract, a.num_samples)
+    bundle.set_reals(make_reals(), a.num_samples)
 
     stages = []
     for s in range(n_stages):
-        fid = frechet_distance(
-            real_stats.mean,
-            real_stats.cov,
-            stage_stats[s].mean,
-            stage_stats[s].cov,
-        )
         row = {
             "stage": s,
             "d_score_mean": round(float(np.mean(np.concatenate(d_scores[s]))), 4),
-            "frechet": round(fid, 4),
         }
-        if a.second_opinion:
-            row["frechet_b"] = round(
-                frechet_distance(
-                    real_stats_b.mean,
-                    real_stats_b.cov,
-                    stage_stats_b[s].mean,
-                    stage_stats_b[s].cov,
-                ),
-                4,
-            )
-            kid_mean, kid_std = kid_score(
-                real_feats, np.concatenate(stage_feats[s], axis=0)
-            )
-            row["kid_x1000"] = round(kid_mean * 1000, 4)
-            row["kid_x1000_std"] = round(kid_std * 1000, 4)
+        row.update(bundle.row(stage_groups[s]))
         stages.append(row)
     result = {
-        "metric": label,
+        "metric": bundle.label,
         "num_samples": a.num_samples,
         "stages": stages,
         "load_path": os.path.abspath(a.load_path),
     }
     if a.second_opinion:
-        result["metric_b"] = label_b
-        result["kid_metric"] = f"KID over {label} features, x1000"
+        result["metric_b"] = bundle.label_b
+        result["kid_metric"] = f"KID over {bundle.label} features, x1000"
     print(json.dumps(result))
     if a.out:
         with open(a.out, "w") as f:

@@ -208,7 +208,11 @@ def main(argv: Optional[list] = None):
         generator, g_vars, train_cfg = load_generator(
             load_path, step=step, restored=restored, use_ema=a.use_ema
         )
-        n_stages = generator.n_stages
+        # The exported program renders via generator.render(), which always
+        # includes the initial (pre-LIS) image — so the stages output has
+        # r_iterations+1 entries even when the run trained with
+        # include_initial_image=False (generator.n_stages would undercount).
+        n_stages = generator.r_iterations + 1 if generator.r_iterations else 1
 
         def render_stages(z, spatial_noise=None):
             if reverter is not None:

@@ -177,6 +177,12 @@ def run(cfg: TrainGLISConfig):
             raise SystemExit("--debug_checks does not support --model_shards")
         if dispatch_chunk(cfg) > 1:
             raise SystemExit("--debug_checks requires --steps_per_dispatch 1")
+        if cfg.multihost and jax.process_count() > 1:
+            # The sanitizer fetches per-device error leaves to the host;
+            # on a pod those span non-addressable devices and the fetch
+            # itself raises. Single-host DP (this host's whole mesh) is
+            # the supported sanitizer surface.
+            raise SystemExit("--debug_checks is single-host only")
         from gea.utils.debug import checked, make_checked_parallel_input_step
 
         if mesh is not None:

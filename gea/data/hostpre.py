@@ -75,11 +75,12 @@ def host_downsample_uint8(
                 + a[:, 1::2, 1::2]
             )
             return ((s + 2) >> 2).astype(np.uint8)
-        return (
-            x.reshape(b, image_size, k, image_size, k, 3)
-            .mean(axis=(2, 4))
-            .astype(np.uint8)
-        )
+        # General k: integer box sum with round-half-up (+k²/2 before the
+        # divide) — a bare .mean().astype(uint8) would truncate and bias
+        # every pixel ~0.5 level darker than the k==2 path above.
+        s = x.reshape(b, image_size, k, image_size, k, 3).astype(np.uint32)
+        s = s.sum(axis=(2, 4))
+        return ((s + k * k // 2) // (k * k)).astype(np.uint8)
     from PIL import Image
 
     out = np.empty((b, image_size, image_size, 3), np.uint8)

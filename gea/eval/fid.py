@@ -346,6 +346,108 @@ def compute_fid(
     return frechet_distance(rs.mean, rs.cov, fs.mean, fs.cov), label
 
 
+class GroupAccumulator:
+    """Streaming multi-metric accumulator for one image group (a fake
+    stream, one LIS stage, one correction-chain link, ...). Every enabled
+    metric is fed from a SINGLE feature extraction per batch."""
+
+    def __init__(self, bundle: "MetricBundle"):
+        self._b = bundle
+        self.stats: Optional[FIDStats] = None
+        self.stats_b: Optional[FIDStats] = None
+        self.feats: list = []  # raw primary feats (float64) for KID
+        self.n = 0
+
+    def update(self, images) -> None:
+        b = self._b
+        feats = np.asarray(jax.device_get(b.extract(jnp.asarray(images))))
+        if self.stats is None:
+            self.stats = FIDStats.empty(feats.shape[-1])
+        self.stats.update(feats)
+        self.n += feats.shape[0]
+        if b.extract_b is not None:
+            self.feats.append(feats.astype(np.float64))
+            fb = np.asarray(jax.device_get(b.extract_b(jnp.asarray(images))))
+            if self.stats_b is None:
+                self.stats_b = FIDStats.empty(fb.shape[-1])
+            self.stats_b.update(fb)
+
+    def consume(self, batches: Iterable[np.ndarray], max_samples: int) -> None:
+        """Drain up to max_samples images from a batch iterator."""
+        for batch in batches:
+            batch = np.asarray(batch)
+            take = min(batch.shape[0], max_samples - self.n)
+            self.update(batch[:take])
+            if self.n >= max_samples:
+                return
+        if self.n == 0:
+            raise ValueError("no samples provided")
+
+
+class MetricBundle:
+    """All offline metrics over shared feature extractions.
+
+    One primary extractor (+ optionally the independent ``random-b`` net
+    and KID, the ``--second_opinion`` surface) scored against ONE pass
+    over the real dataset — the per-metric re-walks the r3 CLIs started
+    with tripled the end-to-end eval cost (each metric re-rendered every
+    fake and re-decoded every real)."""
+
+    def __init__(
+        self,
+        image_size: int,
+        extractor: str = "auto",
+        inception_weights: str = "",
+        second_opinion: bool = False,
+    ):
+        self.extract, self.label = make_feature_extractor(
+            image_size, extractor, inception_weights=inception_weights
+        )
+        self.extract_b = self.label_b = None
+        if second_opinion:
+            self.extract_b, self.label_b = make_feature_extractor(
+                image_size, "random-b"
+            )
+        self._reals: Optional[GroupAccumulator] = None
+
+    def group(self) -> GroupAccumulator:
+        return GroupAccumulator(self)
+
+    def set_reals(
+        self, batches: Iterable[np.ndarray], max_samples: int
+    ) -> None:
+        self._reals = self.group()
+        self._reals.consume(batches, max_samples)
+
+    def row(self, g: GroupAccumulator, ndigits: int = 4) -> dict:
+        """Metric dict for one group vs the reals."""
+        r = self._reals
+        assert r is not None and r.stats is not None and g.stats is not None
+        out = {
+            "frechet": round(
+                frechet_distance(
+                    r.stats.mean, r.stats.cov, g.stats.mean, g.stats.cov
+                ),
+                ndigits,
+            )
+        }
+        if self.extract_b is not None:
+            out["frechet_b"] = round(
+                frechet_distance(
+                    r.stats_b.mean, r.stats_b.cov,
+                    g.stats_b.mean, g.stats_b.cov,
+                ),
+                ndigits,
+            )
+            kid_mean, kid_std = kid_score(
+                np.concatenate(r.feats, axis=0),
+                np.concatenate(g.feats, axis=0),
+            )
+            out["kid_x1000"] = round(kid_mean * 1000, ndigits)
+            out["kid_x1000_std"] = round(kid_std * 1000, ndigits)
+        return out
+
+
 class OnlineFID:
     """Real-side moments computed once, fake side scored repeatedly — the
     in-training `--fid_interval` tracker (GAN quality is non-monotone, so

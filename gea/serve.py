@@ -160,6 +160,8 @@ class ServingModel:
     ) -> Dict[str, np.ndarray]:
         """Draw z ~ N(0, 1) on the host and render `count` samples in
         batches; returns the same dict with arrays concatenated over batch."""
+        if count < 1:
+            raise ValueError(f"count must be >= 1, got {count}")
         fixed = int(self.manifest.get("batch", 0))
         if fixed:
             batch_size = fixed
@@ -205,8 +207,13 @@ def load(path: str) -> ServingModel:
 
     with open(art, "rb") as f:
         exported = jax_export.deserialize(f.read())
-    manifest: Dict[str, Any] = {}
-    if os.path.exists(man):
-        with open(man) as f:
-            manifest = json.load(f)
+    if not os.path.exists(man):
+        # Without the manifest there is no code_size/batch/spatial-noise
+        # contract — every later call would fail opaquely.
+        raise FileNotFoundError(
+            f"missing manifest at {man!r} — keep {MANIFEST} next to the "
+            "artifact (export_model writes both)"
+        )
+    with open(man) as f:
+        manifest: Dict[str, Any] = json.load(f)
     return ServingModel(exported, manifest)

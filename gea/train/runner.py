@@ -420,6 +420,11 @@ class TrainLoop:
         # is not yet durable: (step, fid). Committed at the next point the
         # underlying checkpoint is known to have finished serializing.
         self._pending_best: Optional[Tuple[int, float]] = None
+        # The step best.json durably points at right now. Distinct from
+        # _best_step (the latest best, possibly still pending): retention
+        # pruning must protect BOTH, or there is a window where best.json
+        # references a deleted directory.
+        self._committed_best_step: Optional[int] = None
         # --stop_patience early stopping: consecutive fid evals without a
         # new best.
         self._evals_since_best = 0
@@ -473,6 +478,7 @@ class TrainLoop:
         if self._pending_best is not None:
             step, fid = self._pending_best
             record_best_step(self.run_dir, step, fid, "fid")
+            self._committed_best_step = step
             self._pending_best = None
 
     def _run(self, start_step: int) -> Any:
@@ -486,6 +492,7 @@ class TrainLoop:
             if prior is not None:
                 self._best_fid = float(prior.get("metric", float("inf")))
                 self._best_step = int(prior["step"])
+                self._committed_best_step = self._best_step
         self._profiling = False
         k_cfg = dispatch_chunk(cfg)
         it = start_step
@@ -632,7 +639,7 @@ class TrainLoop:
                         self.state,
                         keep=getattr(cfg, "keep_checkpoints", 0),
                         async_save=True,
-                        protect=self._best_step,
+                        protect=(self._committed_best_step, self._best_step),
                     )
                     self._commit_pending_best()  # prior save now durable
                     self._best_fid, self._best_step = fid, step_now
@@ -654,7 +661,7 @@ class TrainLoop:
                     self.state,
                     keep=getattr(cfg, "keep_checkpoints", 0),
                     async_save=True,
-                    protect=self._best_step,
+                    protect=(self._committed_best_step, self._best_step),
                 )
                 self._commit_pending_best()  # prior best-save now durable
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 import os
 import re
 import shutil
-from typing import Any, Optional
+from typing import Any, Iterable, Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -53,13 +53,15 @@ def save_checkpoint(
     state: Any,
     keep: int = 0,
     async_save: bool = False,
-    protect: Optional[int] = None,
+    protect: Union[int, Iterable[int], None] = None,
 ) -> None:
     """Write the checkpoint for `step`; with keep > 0, prune all but the
     newest `keep` step directories afterwards (the reference keeps every
     torch.save — retention is a TPU-native quality-of-life addition).
-    `protect` exempts one extra step from pruning — the best-FID snapshot
-    under `--fid_interval` tracking.
+    `protect` exempts extra steps (one int or an iterable) from pruning —
+    under `--fid_interval` tracking both the best snapshot best.json
+    currently points at AND the pending not-yet-committed best must
+    survive, or best.json can dangle at a deleted directory.
 
     With async_save the device->host gather happens now but serialization
     runs on a background thread (orbax AsyncCheckpointer, SURVEY.md §5
@@ -92,7 +94,10 @@ def save_checkpoint(
         )
         kept = set(sorted(set(on_disk) | {step})[-keep:])
         if protect is not None:
-            kept.add(protect)
+            kept.update(
+                (protect,) if isinstance(protect, int) else
+                (p for p in protect if p is not None)
+            )
         for old in on_disk:
             if old != step and old not in kept:
                 shutil.rmtree(os.path.join(root, str(old)), ignore_errors=True)

@@ -112,6 +112,29 @@ def test_retention_protects_best_step(tmp_path):
     assert int(restored.step) == int(state.step)
 
 
+def test_retention_protects_committed_and_pending_best(tmp_path):
+    """During async best tracking there are TWO steps that must survive
+    pruning: the one best.json durably points at and the newer pending
+    best whose pointer is not committed yet — pruning away the committed
+    one would leave best.json dangling at a deleted directory."""
+    cfg = tiny_cfg(save_path=str(tmp_path))
+    _, _, _, state = make_state(cfg)
+    from gea.utils.checkpoint import record_best_step
+
+    for s in (1, 2, 3):
+        save_checkpoint(str(tmp_path), s, state, keep=0)  # no pruning yet
+    record_best_step(str(tmp_path), 1, 10.0, "fid")  # committed best = 1
+    # new best at 4 is pending; prune must keep committed 1 AND pending 4
+    save_checkpoint(str(tmp_path), 4, state, keep=1, protect=(1, 4))
+    root = os.path.join(str(tmp_path), "checkpoints")
+    assert sorted(int(d) for d in os.listdir(root)) == [1, 4]
+    # None entries (no best yet) are tolerated
+    save_checkpoint(str(tmp_path), 5, state, keep=1, protect=(None, 4))
+    assert sorted(int(d) for d in os.listdir(root)) == [4, 5]
+    restored = restore_checkpoint(str(tmp_path), state, step=4)
+    assert int(restored.step) == int(state.step)
+
+
 def test_step_minus_one_without_best_json(tmp_path):
     cfg = tiny_cfg(save_path=str(tmp_path))
     _, _, _, state = make_state(cfg)

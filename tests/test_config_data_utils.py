@@ -282,9 +282,15 @@ def test_host_downsample_uint8_other_paths():
     # crop == image_size: pure center crop, bytes untouched
     out = host_downsample_uint8(raw, crop_size=16, image_size=16)
     np.testing.assert_array_equal(out, raw[:, 16:32, 16:32, :])
-    # integer ratio > 2: generic box mean
+    # integer ratio > 2: generic box mean, round-half-up like the k==2
+    # fast path (a truncating .mean().astype(uint8) would bias ~0.5
+    # level darker)
     out4 = host_downsample_uint8(raw, crop_size=48, image_size=12)
     assert out4.shape == (2, 12, 12, 3) and out4.dtype == np.uint8
+    box = raw.astype(np.float64).reshape(2, 12, 4, 12, 4, 3).sum(axis=(2, 4))
+    np.testing.assert_array_equal(
+        out4, np.floor((box + 8) / 16).astype(np.uint8)
+    )
     flat = host_downsample_uint8(
         np.full((1, 48, 48, 3), 200, np.uint8), 48, 12
     )

@@ -67,6 +67,49 @@ def test_compute_fid_separates_distributions(rng):
     assert diff > 10 * max(same, 1e-6)
 
 
+def test_metric_bundle_matches_per_metric_paths(rng):
+    """MetricBundle (the shared one-pass CLI plumbing) must reproduce the
+    per-metric reference paths exactly: primary Frechet == compute_fid,
+    frechet_b == compute_fid(extractor=random-b), KID == kid_score over
+    compute_features matrices."""
+    from gea.eval.fid import (
+        MetricBundle,
+        compute_features,
+        kid_score,
+        make_feature_extractor,
+    )
+
+    def batches(shift, seed, n=6):
+        g = np.random.default_rng(seed)
+        for _ in range(n):
+            yield np.clip(
+                g.normal(shift, 0.3, (64, 32, 32, 3)), -1, 1
+            ).astype(np.float32)
+
+    bundle = MetricBundle(32, extractor="random", second_opinion=True)
+    bundle.set_reals(batches(0.0, 1), 256)
+    g = bundle.group()
+    g.consume(batches(0.6, 2), 256)
+    row = bundle.row(g, ndigits=10)
+
+    want, _ = compute_fid(
+        batches(0.0, 1), batches(0.6, 2), image_size=32, num_samples=256,
+        extractor="random",
+    )
+    np.testing.assert_allclose(row["frechet"], want, rtol=1e-6)
+    want_b, label_b = compute_fid(
+        batches(0.0, 1), batches(0.6, 2), image_size=32, num_samples=256,
+        extractor="random-b",
+    )
+    assert bundle.label_b == label_b
+    np.testing.assert_allclose(row["frechet_b"], want_b, rtol=1e-6)
+    extract, _ = make_feature_extractor(32, "random")
+    rf = compute_features(batches(0.0, 1), extract, 256)
+    ff = compute_features(batches(0.6, 2), extract, 256)
+    kid_mean, _ = kid_score(rf, ff)
+    np.testing.assert_allclose(row["kid_x1000"], kid_mean * 1000, rtol=1e-6)
+
+
 def test_online_fid_matches_compute_fid(rng):
     """OnlineFID (the --fid_interval tracker) precomputes real moments and
     scores repeated fake iterators identically to the one-shot path."""

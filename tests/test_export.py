@@ -78,6 +78,17 @@ def test_export_roundtrip_symbolic_batch(glis_run, tmp_path):
         model(z[:, :8])
     with pytest.raises(ValueError):
         model(z, np.zeros((3, 4, 4, 2), np.float32))
+    with pytest.raises(ValueError):
+        model.sample(0)
+    # a lone artifact without its manifest is rejected at load time (the
+    # manifest carries the call contract)
+    with pytest.raises(FileNotFoundError, match="manifest"):
+        lone = tmp_path / "lone"
+        lone.mkdir()
+        (lone / serve.ARTIFACT).write_bytes(
+            (tmp_path / "art" / serve.ARTIFACT).read_bytes()
+        )
+        serve.load(str(lone))
 
 
 @pytest.mark.slow
