@@ -78,14 +78,25 @@ def create_r_state(cfg, reverter: Reverter, tx_r, seed: int) -> GANTrainState:
     )
 
 
-def _dummy_data(num_chips: int = 1, k: int = 1):
+def _dummy_data(mesh, k: int = 1):
     """R-separate consumes no real data; this feeds the generic TrainLoop a
-    shardable placeholder batch ((k, num_chips) when dispatch is chunked)."""
+    shardable placeholder batch ((k, n) when dispatch is chunked). Same
+    protocol as runner.input_iterator's on-device-synthetic dummies: each
+    process supplies its LOCAL slab, assembled into a global array when
+    the mesh spans multiple hosts."""
+    from gea.parallel.dp import batch_sharding
+
+    n = mesh.devices.size if mesh is not None else 1
+    n_local = n // jax.process_count()
     z = (
-        np.zeros((k, num_chips), np.float32)
+        np.zeros((k, n_local), np.float32)
         if k > 1
-        else np.zeros((num_chips,), np.float32)
+        else np.zeros((n_local,), np.float32)
     )
+    if mesh is not None:
+        sh = batch_sharding(mesh, chunked=k > 1)
+        if not sh.is_fully_addressable:
+            z = jax.make_array_from_process_local_data(sh, z)
     while True:
         yield z
 
@@ -196,11 +207,18 @@ def make_fid_fn(cfg, g_cfg, generator, g_variables, reverter):
 def run(cfg: TrainRSeparateConfig):
     if not cfg.g_path:
         raise SystemExit("--g_path (trained generator run dir) is required")
+    # Architecture adoption needs only the G run's config (a file read);
+    # prepare_run must come BEFORE the checkpoint restore because it is
+    # what calls jax.distributed.initialize() under --multihost, and no
+    # JAX computation may precede that.
+    from gea.config import TrainGLISConfig
+
+    g_cfg = TrainGLISConfig.load(os.path.join(cfg.g_path, "config.json"))
+    cfg = _architecture_from_g(cfg, g_cfg)
+    run_dir = prepare_run(cfg)
     generator, g_variables, g_cfg = load_generator(
         cfg.g_path, step=cfg.g_step or None
     )
-    cfg = _architecture_from_g(cfg, g_cfg)
-    run_dir = prepare_run(cfg)
     mesh = resolve_mesh(cfg)
     num_chips = mesh.devices.size if mesh is not None else 1
     if cfg.batch_size % max(1, num_chips) != 0:
@@ -260,7 +278,7 @@ def run(cfg: TrainRSeparateConfig):
         run_dir,
         state,
         step_fn,
-        _dummy_data(num_chips, dispatch_chunk(cfg)),
+        _dummy_data(mesh, dispatch_chunk(cfg)),
         vis_fn=vis,
         num_chips=num_chips,
         loss_keys=("loss_r",),

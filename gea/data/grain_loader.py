@@ -14,8 +14,6 @@ import numpy as np
 
 
 class GrainFolderLoader:
-    emits_cropped = True
-
     def __init__(
         self,
         paths: List[str],

@@ -36,9 +36,8 @@ def decode_square(path: str, crop_size: int, out_size: int) -> np.ndarray:
 
 class NativeFolderLoader:
     """Endless shuffled uint8 batch stream backed by the C++ pool; batches
-    are already the native-resolution center crop (emits_cropped)."""
-
-    emits_cropped = True
+    are already the native-resolution center crop (device_crop_size
+    makes the post-decode crop a no-op for folder-backed datasets)."""
 
     def __init__(
         self,
@@ -49,6 +48,9 @@ class NativeFolderLoader:
         workers: int = 4,
         seed: int = 0,
     ):
+        from gea.data.pipeline import require_enough_images
+
+        require_enough_images(len(paths), batch_size, "native loader input")
         lib = load_library()
         if lib is None:
             raise RuntimeError("native loader unavailable")

@@ -21,6 +21,17 @@ import numpy as np
 IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
 
 
+def require_enough_images(n: int, batch_size: int, what: str) -> None:
+    """Fail fast when a dataset cannot fill one batch — the shuffle-epoch
+    generators below would otherwise spin forever yielding nothing while
+    the prefetch consumer blocks silently."""
+    if n < batch_size:
+        raise ValueError(
+            f"{what} has {n} images but batch_size is {batch_size}; "
+            "reduce --batch_size or provide more data"
+        )
+
+
 def list_images(root: str) -> List[str]:
     out: List[str] = []
     for dirpath, _dirnames, filenames in os.walk(root):
@@ -80,10 +91,9 @@ def _decode(path: str, crop_size: int, out_size: int) -> np.ndarray:
 class FolderDataset:
     """Endless shuffled batch iterator over an image folder; yields uint8
     batches of shape (batch_size, decode_size, decode_size, 3) whose
-    content is already the native-resolution center crop (emits_cropped),
+    content is already the native-resolution center crop,
     dropping each epoch's ragged remainder."""
 
-    emits_cropped = True
 
     def __init__(
         self,
@@ -95,6 +105,7 @@ class FolderDataset:
         seed: int = 0,
     ):
         self.paths = list_images(root)
+        require_enough_images(len(self.paths), batch_size, root)
         self.batch_size = batch_size
         self.crop_size = crop_size
         self.decode_size = decode_size
@@ -230,7 +241,6 @@ class CachedFolderDataset:
     entirely — the train step becomes compute-bound (BASELINE.json: the
     alternating step 'never stalls on input')."""
 
-    emits_cropped = True
 
     def __init__(
         self,
@@ -246,6 +256,7 @@ class CachedFolderDataset:
         self.decode_size = decode_size
         self.rng = np.random.default_rng(seed)
         paths = list_images(root)
+        require_enough_images(len(paths), batch_size, root)
         self.data = np.empty(
             (len(paths), decode_size, decode_size, 3), np.uint8
         )
@@ -320,6 +331,8 @@ def _cifar10_dataset(cfg, seed: int):
             f"no CIFAR-10 data_batch files under {cfg.dataroot!r}"
         )
     data = np.concatenate(arrays).astype(np.uint8)
+
+    require_enough_images(len(data), cfg.batch_size, "cifar10")
 
     class _Cifar:
         batch_size = cfg.batch_size

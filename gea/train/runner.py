@@ -8,10 +8,9 @@ factored into one place."""
 from __future__ import annotations
 
 import os
-from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+from typing import Any, Callable, Iterator, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from gea.data.ondevice import preprocess_batch, synthetic_batch
@@ -27,7 +26,6 @@ from gea.utils.checkpoint import (
     save_checkpoint,
     wait_for_checkpoints,
 )
-from gea.utils.grids import save_stage_grids
 from gea.utils.meters import ThroughputMeter
 from gea.utils.plotting import LossPlotter
 
@@ -371,9 +369,21 @@ def maybe_resume(cfg, state):
         raise FileNotFoundError(
             f"--load_path {cfg.load_path!r} contains no checkpoints"
         )
-    source = cfg.load_path or (
-        cfg.save_path if latest_step(cfg.save_path) is not None else ""
-    )
+    # Precedence: an in-progress save_path WINS over --load_path. The
+    # warm start from --load_path applies to the run's FIRST launch only;
+    # on a preempted relaunch with identical argv the newer checkpoints
+    # in save_path are the run's own progress and must not be rewound to
+    # the original warm-start weights.
+    own = latest_step(cfg.save_path) is not None
+    if own and cfg.save_path != cfg.load_path:
+        source = cfg.save_path
+        if cfg.load_path:
+            print(
+                f"[gea] save_path has checkpoints: auto-resuming from it "
+                f"(ignoring --load_path {cfg.load_path} warm start)"
+            )
+    else:
+        source = cfg.load_path or ("" if not own else cfg.save_path)
     if not source:
         return state, 0
     restored = restore_checkpoint(source, state)
@@ -521,6 +531,10 @@ class TrainLoop:
             def crossed(interval: int) -> bool:
                 # True when a multiple of `interval` lies in (prev, now] —
                 # with chunked dispatch the boundary fires at chunk end.
+                # interval <= 0 disables the periodic (the convention the
+                # adjacent --fid_interval/--keep_checkpoints flags use).
+                if interval <= 0:
+                    return False
                 return step_now // interval > prev // interval
 
             profile_dir = getattr(cfg, "profile_dir", "")

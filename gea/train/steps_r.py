@@ -144,9 +144,14 @@ def build_r_separate_step(
                 # Render the corrected code through the frozen G and score
                 # with the frozen D: gradients flow D -> image -> z_pred
                 # -> R params (G/D params are not differentiated).
+                # Same spatial noise as the defective render: a
+                # spatial_code generator REQUIRES it (generator.apply
+                # raises without it), and reusing sn isolates the z
+                # correction as the only change between the two renders.
                 corr_images, _ = generator.apply(
                     frozen_g_variables,
                     z_pred,
+                    spatial_noise=sn,
                     train=False,
                     render_all_stages=True,
                 )

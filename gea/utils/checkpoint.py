@@ -178,8 +178,14 @@ def _restore_with_schema_evolution(ckptr, path: str, target: Any) -> Any:
                 item["params_g_ema"] = target.params_g if disk_ema else {}
         restored = ckptr.restore(path, item=jax.device_get(item))
         out = target.replace(**restored)
-        res_ema = has_ema_field and bool(
-            jax.tree_util.tree_leaves(out.params_g_ema)
+        # What the DISK actually carried — out.params_g_ema is the
+        # target's fresh-init copy whenever the key was absent from the
+        # checkpoint, so inspecting `out` would wrongly conclude the
+        # shadow was restored and skip the re-init below.
+        res_ema = (
+            has_ema_field
+            and "params_g_ema" in raw
+            and bool(jax.tree_util.tree_leaves(raw["params_g_ema"]))
         )
         if tgt_ema and not res_ema:
             print(

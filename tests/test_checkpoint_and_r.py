@@ -152,6 +152,13 @@ def test_checkpoint_schema_evolution_ema(tmp_path):
 
     cfg = tiny_cfg(save_path=str(tmp_path))
     g, d, tx, old_state = make_state(cfg)  # g_ema=0 -> params_g_ema={}
+    # Perturb the saved params away from fresh init: both states come
+    # from the same seed, so without this the "EMA initialized from the
+    # RESTORED generator" assertions would also pass for a shadow left at
+    # its fresh-init value (the exact bug this test must catch).
+    old_state = old_state.replace(
+        params_g=jax.tree_util.tree_map(lambda x: x + 1.0, old_state.params_g)
+    )
     cfg_ema = tiny_cfg(save_path=str(tmp_path), g_ema=0.99)
     ema_state = create_glis_state(cfg_ema, g, d, tx, tx, 0)
 
@@ -342,3 +349,30 @@ def test_r_separate_d_feedback_and_mining():
     )
     _, m0 = step_mse(rstate, dummy)
     assert float(m0["loss_r_adv"]) == 0.0
+
+
+def test_r_separate_d_feedback_with_spatial_code():
+    """The adversarial re-render must pass the SAME spatial noise as the
+    defective render: a --spatial_code generator rejects a render without
+    it (regression — the adv term made R-separate untrainable for every
+    spatial-code G)."""
+    cfg = tiny_cfg(
+        TrainRSeparateConfig, g_path="unused", r_hidden=16,
+        r_adv_weight=0.5, spatial_code=2,
+    )
+    g, d, tx, state = make_state(cfg)
+    frozen_g = {"params": state.params_g, **state.extras_g}
+    frozen_d = {"params": state.params_d, **state.extras_d}
+    reverter = Reverter.from_config(cfg)
+    from gea.cli.train_r_separate import create_r_state
+
+    rstate = create_r_state(cfg, reverter, tx, 0)
+    step = jax.jit(
+        build_r_separate_step(
+            cfg, g, reverter, frozen_g, tx,
+            discriminator=d, frozen_d_variables=frozen_d,
+        )
+    )
+    s, m = step(rstate, jnp.zeros((1,)))
+    assert float(m["loss_r_adv"]) > 0.0
+    assert np.isfinite(float(m["loss_r"]))

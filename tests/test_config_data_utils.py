@@ -88,6 +88,15 @@ def test_folder_dataset(tmp_path):
     b = next(ds.batches())
     assert b.shape == (3, 32, 32, 3) and b.dtype == np.uint8
 
+    # fewer images than batch_size must fail fast, not spin an empty
+    # shuffle-epoch loop forever while the prefetch consumer blocks
+    import pytest
+
+    with pytest.raises(ValueError, match="batch_size"):
+        FolderDataset(
+            str(tmp_path), batch_size=7, crop_size=36, decode_size=32
+        )
+
 
 def test_preprocess_batch():
     from gea.data.ondevice import preprocess_batch

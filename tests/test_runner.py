@@ -21,7 +21,7 @@ class StubState:
 
 
 def make_loop(tmp_path, niter=10, nan_at=None, **cfg_kw):
-    cfg = TrainGLISConfig(
+    kw = dict(
         dataset="synthetic",
         image_size=16,
         batch_size=4,
@@ -30,8 +30,9 @@ def make_loop(tmp_path, niter=10, nan_at=None, **cfg_kw):
         vis_interval=4,
         save_interval=5,
         save_path=str(tmp_path),
-        **cfg_kw,
     )
+    kw.update(cfg_kw)
+    cfg = TrainGLISConfig(**kw)
     run_dir = prepare_run(cfg)
 
     def step_fn(state, batch, rng):
@@ -90,6 +91,41 @@ def test_maybe_resume_roundtrip(tmp_path):
     cfg2 = TrainGLISConfig(save_path=str(tmp_path / "fresh"), dataset="synthetic")
     _, start2 = maybe_resume(cfg2, state)
     assert start2 == 0
+
+
+def test_maybe_resume_save_path_wins_over_load_path(tmp_path):
+    """Preemption relaunch contract: when --save_path already holds the
+    run's OWN checkpoints, an identical relaunch with --load_path must
+    resume from save_path (its progress), not rewind to the warm start."""
+    from gea.utils.checkpoint import save_checkpoint
+
+    warm = str(tmp_path / "warm")
+    save_checkpoint(warm, 5, StubState(step=jnp.asarray(5, jnp.int32),
+                                       params_g=jnp.full((), 5.0)))
+    own = str(tmp_path / "own")
+    cfg = TrainGLISConfig(save_path=own, load_path=warm, dataset="synthetic")
+    fresh = StubState(step=jnp.zeros((), jnp.int32), params_g=jnp.zeros(()))
+    # first launch: no own checkpoints yet -> warm start from load_path
+    restored, start = maybe_resume(cfg, fresh)
+    assert start == 5 and float(restored.params_g) == 5.0
+    # the run progresses and checkpoints into save_path...
+    save_checkpoint(own, 9, StubState(step=jnp.asarray(9, jnp.int32),
+                                      params_g=jnp.full((), 9.0)))
+    # ...preempted relaunch with identical argv: own progress wins
+    restored, start = maybe_resume(cfg, fresh)
+    assert start == 9 and float(restored.params_g) == 9.0
+
+
+def test_loop_interval_zero_disables_periodic(tmp_path):
+    """interval 0 = disabled (the --fid_interval/--keep_checkpoints
+    convention) — must not ZeroDivisionError on the first step."""
+    cfg, loop, vis_calls, run_dir = make_loop(
+        tmp_path, niter=4, vis_interval=0, save_interval=0, log_interval=0
+    )
+    loop.run(0)
+    assert vis_calls == []
+    # the end-of-run save is its own clause and still fires at niter
+    assert os.listdir(os.path.join(run_dir, "checkpoints")) == ["4"]
 
 
 def test_checked_wrapper_raises_on_nan():
