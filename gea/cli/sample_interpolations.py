@@ -66,10 +66,15 @@ def run(cfg: SampleInterpolationsConfig):
         )(pairs[0], pairs[1])
     z = walk.reshape(-1, train_cfg.code_size)
 
-    sn_shape = generator.spatial_noise_shape(z.shape[0])
-    sn = (
-        jax.random.normal(sn_rng, sn_shape, jnp.float32) if sn_shape else None
-    )
+    # One spatial-noise draw PER PAIR, tiled across that pair's points:
+    # independent noise per frame would make adjacent frames differ by
+    # noise resampling instead of latent movement — flicker, not a walk.
+    sn_shape = generator.spatial_noise_shape(cfg.interp_pairs)
+    if sn_shape:
+        sn_pair = jax.random.normal(sn_rng, sn_shape, jnp.float32)
+        sn = jnp.repeat(sn_pair, cfg.interp_points, axis=0)
+    else:
+        sn = None
     images = np.asarray(
         jax.device_get(generator.render(variables, z, spatial_noise=sn)[0])
     )

@@ -24,6 +24,7 @@
 #include <algorithm>
 #include <atomic>
 #include <condition_variable>
+#include <cmath>
 #include <csetjmp>
 #include <cstdint>
 #include <cstdio>
@@ -141,7 +142,18 @@ bool decode_square(const char* path, int crop_size, int out_size,
       crop_size > 0 && crop_size < short_side ? crop_size : short_side);
   float sx = static_cast<float>(w) / w0;
   float sy = static_cast<float>(h) / h0;
-  resize_bilinear(pix.data(), w, h, (w0 - cs) / 2 * sx, (h0 - cs) / 2 * sy,
+  float bx = (w0 - cs) / 2 * sx;
+  float by = (h0 - cs) / 2 * sy;
+  if (w == w0 && h == h0) {
+    // No DCT prescale: integer center crop for exact parity with the PIL
+    // reference path (pipeline._decode: int(round(...)), Python rounds
+    // half to even — nearbyint under the default FE_TONEAREST matches).
+    // A fractional origin here would bilinearly blur every image whose
+    // crop margin is odd.
+    bx = std::nearbyintf((w0 - cs) / 2);
+    by = std::nearbyintf((h0 - cs) / 2);
+  }
+  resize_bilinear(pix.data(), w, h, bx, by,
                   cs * sx, cs * sy, out, out_size, out_size);
   return true;
 }
@@ -232,7 +244,14 @@ struct Loader {
         std::lock_guard<std::mutex> lk(mu);
         if (stopping) return;
         path = next_path_locked();
-        if (++attempts > 32) {  // give up: zero-fill the slot
+        if (++attempts > 32) {
+          // Give up: zero-fill the slot so the batch still completes,
+          // but say so — the interchangeable PIL backend fails fast on
+          // the same input, and silent black images corrupt training.
+          std::fprintf(stderr,
+                       "[gea native loader] WARNING: %d consecutive decode "
+                       "failures (last: %s); zero-filling one batch slot\n",
+                       attempts, path.c_str());
           std::memset(dst, 0, image_bytes);
           break;
         }

@@ -74,11 +74,24 @@ def frechet_distance(
 
     diff = mu1 - mu2
     covmean, _ = linalg.sqrtm(cov1 @ cov2, disp=False)
+    if not np.all(np.isfinite(covmean)):
+        # Rank-deficient covariances (sample count <= feature dim) can
+        # make sqrtm blow up; retry with the standard eps*I diagonal
+        # regularization rather than report NaN into best.json.
+        eps = 1e-6 * max(np.trace(cov1), np.trace(cov2), 1.0) / cov1.shape[0]
+        off = eps * np.eye(cov1.shape[0])
+        covmean, _ = linalg.sqrtm((cov1 + off) @ (cov2 + off), disp=False)
     if np.iscomplexobj(covmean):
         covmean = covmean.real
-    return float(
+    fid = float(
         diff @ diff + np.trace(cov1) + np.trace(cov2) - 2.0 * np.trace(covmean)
     )
+    if not np.isfinite(fid):
+        raise FloatingPointError(
+            "frechet_distance is non-finite even after eps regularization "
+            "(degenerate covariance — too few samples for the feature dim?)"
+        )
+    return fid
 
 
 # ------------------------------------------------------------ extractors

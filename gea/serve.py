@@ -147,10 +147,14 @@ class ServingModel:
             return call(z)
 
         for item in z_iter:
-            q.append(_enqueue(item))
-            if len(q) > depth:
+            # Retire before enqueueing once the window is full so at most
+            # `depth` batches are ever in flight (depth=1 = classic
+            # double buffering), keeping device memory bounded as
+            # documented.
+            if len(q) >= depth:
                 out = q.popleft()
                 yield {k: np.asarray(v) for k, v in out.items()}
+            q.append(_enqueue(item))
         while q:
             out = q.popleft()
             yield {k: np.asarray(v) for k, v in out.items()}

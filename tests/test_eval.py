@@ -67,6 +67,22 @@ def test_compute_fid_separates_distributions(rng):
     assert diff > 10 * max(same, 1e-6)
 
 
+def test_frechet_rank_deficient_is_finite(rng):
+    """Fewer samples than feature dims (rank-deficient covariance) must
+    still yield a finite distance via eps regularization — a NaN here
+    would silently corrupt best.json pinning."""
+    from gea.eval.fid import FIDStats, frechet_distance
+
+    d = 64
+    a, b = FIDStats.empty(d), FIDStats.empty(d)
+    a.update(rng.normal(0, 1, (8, d)))   # n=8 << d=64
+    b.update(rng.normal(0.5, 1, (8, d)))
+    fid = frechet_distance(a.mean, a.cov, b.mean, b.cov)
+    assert np.isfinite(fid)
+    same = frechet_distance(a.mean, a.cov, a.mean, a.cov)
+    assert np.isfinite(same) and same < fid
+
+
 def test_metric_bundle_matches_per_metric_paths(rng):
     """MetricBundle (the shared one-pass CLI plumbing) must reproduce the
     per-metric reference paths exactly: primary Frechet == compute_fid,

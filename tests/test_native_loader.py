@@ -38,6 +38,25 @@ def test_decode_square_matches_pil(jpeg_dir):
     assert np.abs(a.mean((0, 1)) - b.mean((0, 1))).max() < 3.0
 
 
+def test_decode_square_integer_crop_on_odd_margins(tmp_path, rng):
+    """No-prescale decodes must center-crop at an INTEGER origin like the
+    PIL parity path — a fractional (half-pixel) origin bilinearly blurs
+    every image whose crop margin is odd (regression)."""
+    from gea.data.pipeline import _decode
+
+    arr = (rng.random((97, 113, 3)) * 255).astype(np.uint8)
+    p = tmp_path / "odd.jpg"
+    Image.fromarray(arr).save(p, quality=95)
+    # crop 64 of 113x97: margins 49 and 33, both odd; cs == out_size so
+    # no resize and no DCT prescale — both paths decode with libjpeg and
+    # must produce (near-)identical pixels.
+    a = native.decode_square(str(p), 64, 64).astype(np.int32)
+    b = _decode(str(p), 64, 64).astype(np.int32)
+    diff = np.abs(a - b)
+    assert diff.mean() < 1.0, f"mean diff {diff.mean():.2f} (blurred crop?)"
+    assert (diff > 4).mean() < 0.01
+
+
 def test_decode_rejects_garbage(tmp_path):
     p = tmp_path / "bad.jpg"
     p.write_bytes(b"not a jpeg at all")
