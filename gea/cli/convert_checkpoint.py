@@ -183,8 +183,13 @@ def main(argv=None):
     if a.from_torch:
         if not a.out_run:
             raise SystemExit("--from_torch requires --out_run")
+        if a.step < 0:
+            # -1 means "best per best.json" on EXPORT; a torch payload
+            # has no best.json, so silently accepting it would mislabel
+            # the imported checkpoint.
+            raise SystemExit("--step -1 (best) is only valid for export")
         return import_torch(
-            a.from_torch, a.out_run, a.step if a.step > 0 else None
+            a.from_torch, a.out_run, a.step or None
         )
     if not (a.load_path and a.out):
         raise SystemExit("export requires --load_path and --out")

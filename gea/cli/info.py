@@ -17,7 +17,7 @@ import numpy as np
 
 
 def summarize(load_path: str) -> dict:
-    from gea.utils.checkpoint import latest_step, restore_checkpoint
+    from gea.utils.checkpoint import restore_checkpoint
 
     out: dict = {"path": os.path.abspath(load_path)}
     cfg_path = os.path.join(load_path, "config.json")
@@ -31,15 +31,7 @@ def summarize(load_path: str) -> dict:
     out["checkpoint_steps"] = steps
     if steps:
         restored = restore_checkpoint(load_path, target=None)
-
-        def count(tree) -> int:
-            if not tree:
-                return 0
-            import jax
-
-            return int(
-                sum(np.asarray(x).size for x in jax.tree_util.tree_leaves(tree))
-            )
+        from gea.train.state import param_count as count
 
         out["params"] = {
             k: count(restored.get(k))

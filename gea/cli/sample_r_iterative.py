@@ -60,7 +60,17 @@ def run(
             if sn_shape
             else None
         )
-        imgs = np.asarray(jax.device_get(chain(z, sn)))
+        if n < batch_size:
+            # Pad the ragged tail to the compiled batch shape and slice
+            # after: a new input shape would recompile the whole unrolled
+            # chain for one batch (minutes on a tunneled chip).
+            pad = batch_size - n
+            z = jnp.concatenate([z, jnp.zeros((pad, z.shape[1]), z.dtype)])
+            if sn is not None:
+                sn = jnp.concatenate(
+                    [sn, jnp.zeros((pad, *sn.shape[1:]), sn.dtype)]
+                )
+        imgs = np.asarray(jax.device_get(chain(z, sn)))[:, :n]
         save_stage_grids(imgs, out_dir, batch_idx, rows=grid_rows)
         done += n
         batch_idx += 1

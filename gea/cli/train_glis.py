@@ -27,12 +27,10 @@ from gea.models import Discriminator, GeneratorLIS
 from gea.parallel.mesh import DATA_AXIS
 from gea.train.runner import (
     TrainLoop,
-    dispatch_chunk,
+    build_step_fn,
     fuse_input_pipeline,
     input_iterator,
-    make_step_dispatcher,
     maybe_resume,
-    place_state,
     prepare_run,
     resolve_mesh,
     tp_shards,
@@ -172,30 +170,7 @@ def run(cfg: TrainGLISConfig):
         cfg, generator, discriminator, tx_g, tx_d, axis_name=axis
     )
     fused = fuse_input_pipeline(cfg, step, axis_name=axis)
-    if cfg.debug_checks:
-        if tp_shards(cfg) > 1:
-            raise SystemExit("--debug_checks does not support --model_shards")
-        if dispatch_chunk(cfg) > 1:
-            raise SystemExit("--debug_checks requires --steps_per_dispatch 1")
-        if cfg.multihost and jax.process_count() > 1:
-            # The sanitizer fetches per-device error leaves to the host;
-            # on a pod those span non-addressable devices and the fetch
-            # itself raises. Single-host DP (this host's whole mesh) is
-            # the supported sanitizer surface.
-            raise SystemExit("--debug_checks is single-host only")
-        from gea.utils.debug import checked, make_checked_parallel_input_step
-
-        if mesh is not None:
-            # DP sanitizer (round 3): checkify runs INSIDE shard_map and
-            # the host re-raises the first failing device's error with
-            # its producing op + device index.
-            state, _ = place_state(cfg, mesh, state)
-            step_fn = make_checked_parallel_input_step(fused, mesh)
-        else:
-            step_fn = checked(fused)
-    else:
-        state, shardings = place_state(cfg, mesh, state)
-        step_fn = make_step_dispatcher(cfg, mesh, fused, shardings)
+    state, step_fn = build_step_fn(cfg, mesh, state, fused)
 
     data_iter = input_iterator(cfg, mesh, cfg.seed)
     vis = make_vis_fn(cfg, generator, run_dir)

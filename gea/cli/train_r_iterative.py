@@ -22,12 +22,11 @@ from gea.models import Discriminator, GeneratorLIS, Reverter
 from gea.parallel.mesh import DATA_AXIS
 from gea.train.runner import (
     TrainLoop,
+    build_step_fn,
     fuse_input_pipeline,
     input_iterator,
-    make_step_dispatcher,
     maybe_resume,
     prepare_run,
-    place_state,
     resolve_mesh,
     tp_shards,
 )
@@ -65,10 +64,16 @@ def make_vis_fn(cfg, generator, reverter, run_dir: str):
         )
 
     def vis(state, step: int) -> None:
+        from gea.parallel.dp import local_copy
+
+        # Multihost: vis runs on the lead only — fetch a host-local copy
+        # of the replicated params so the render is a local computation
+        # (same hazard train_glis.make_vis_fn documents).
         imgs = np.asarray(
             jax.device_get(
                 render_chain(
-                    state.params_g, state.extras_g, state.params_r, state.extras_r
+                    local_copy(state.params_g), local_copy(state.extras_g),
+                    local_copy(state.params_r), local_copy(state.extras_r),
                 )
             )
         )
@@ -167,8 +172,7 @@ def run(cfg: TrainRIterativeConfig):
         cfg, generator, discriminator, reverter, tx_g, tx_d, tx_r, axis_name=axis
     )
     fused = fuse_input_pipeline(cfg, step, axis_name=axis)
-    state, shardings = place_state(cfg, mesh, state)
-    step_fn = make_step_dispatcher(cfg, mesh, fused, shardings)
+    state, step_fn = build_step_fn(cfg, mesh, state, fused)
 
     data_iter = input_iterator(cfg, mesh, cfg.seed)
     vis = make_vis_fn(cfg, generator, reverter, run_dir)

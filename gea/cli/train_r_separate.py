@@ -26,11 +26,10 @@ from gea.models import Reverter
 from gea.parallel.mesh import DATA_AXIS
 from gea.train.runner import (
     TrainLoop,
+    build_step_fn,
     dispatch_chunk,
-    make_step_dispatcher,
     maybe_resume,
     prepare_run,
-    place_state,
     resolve_mesh,
     tp_shards,
 )
@@ -129,8 +128,14 @@ def make_vis_fn(cfg, generator, g_variables, reverter, run_dir: str):
         return jnp.stack([before, after])
 
     def vis(state, step: int) -> None:
+        from gea.parallel.dp import local_copy
+
+        # Multihost: lead-only render — use host-local replica copies
+        # (same hazard train_glis.make_vis_fn documents).
         pair = np.asarray(
-            jax.device_get(render_pair(state.params_r, state.extras_r))
+            jax.device_get(
+                render_pair(local_copy(state.params_r), local_copy(state.extras_r))
+            )
         )
         save_stage_grids(
             pair, os.path.join(run_dir, "samples"), step, rows=cfg.vis_rows
@@ -263,8 +268,7 @@ def run(cfg: TrainRSeparateConfig):
     def step_no_input(state, raw, rng):
         return step(state, raw)
 
-    state, shardings = place_state(cfg, mesh, state)
-    step_fn = make_step_dispatcher(cfg, mesh, step_no_input, shardings)
+    state, step_fn = build_step_fn(cfg, mesh, state, step_no_input)
 
     vis = make_vis_fn(cfg, generator, g_variables, reverter, run_dir)
     is_lead = not cfg.multihost or jax.process_index() == 0

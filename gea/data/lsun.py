@@ -71,6 +71,14 @@ def export_class(dataroot: str, cls: str, limit: int = 0) -> str:
             if limit and n >= limit:
                 break
     env.close()
+    if n == 0:
+        # A truncated/corrupt LMDB must not leave a .complete marker —
+        # it would permanently short-circuit re-export and hand the
+        # folder backends an empty directory.
+        raise ValueError(
+            f"LSUN export from {lmdb_path!r} produced 0 images "
+            "(corrupt or empty LMDB?)"
+        )
     with open(marker, "w") as f:
         f.write(f"{n}\n")
     return out

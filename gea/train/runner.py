@@ -358,6 +358,36 @@ def place_state(cfg, mesh, state):
     return replicate_state(state, mesh), None
 
 
+def build_step_fn(cfg, mesh, state, fused):
+    """Resolve the driveable step for a trainer: the normal sharded
+    dispatcher, or — with --debug_checks — the checkify NaN/Inf sanitizer
+    (single-host only; rejects --model_shards and chunked dispatch).
+    Returns (placed_state, step_fn); shared by all three trainers so the
+    sanitizer contract can't silently drift between them."""
+    if getattr(cfg, "debug_checks", False):
+        if tp_shards(cfg) > 1:
+            raise SystemExit("--debug_checks does not support --model_shards")
+        if dispatch_chunk(cfg) > 1:
+            raise SystemExit("--debug_checks requires --steps_per_dispatch 1")
+        if getattr(cfg, "multihost", False) and jax.process_count() > 1:
+            # The sanitizer fetches per-device error leaves to the host;
+            # on a pod those span non-addressable devices and the fetch
+            # itself raises. Single-host DP (this host's whole mesh) is
+            # the supported sanitizer surface.
+            raise SystemExit("--debug_checks is single-host only")
+        from gea.utils.debug import checked, make_checked_parallel_input_step
+
+        if mesh is not None:
+            # DP sanitizer: checkify runs INSIDE shard_map and the host
+            # re-raises the first failing device's error with its
+            # producing op + device index.
+            state, _ = place_state(cfg, mesh, state)
+            return state, make_checked_parallel_input_step(fused, mesh)
+        return state, checked(fused)
+    state, shardings = place_state(cfg, mesh, state)
+    return state, make_step_dispatcher(cfg, mesh, fused, shardings)
+
+
 def maybe_resume(cfg, state):
     """Reference resume contract: --load_path restores an earlier run; an
     existing checkpoint in --save_path auto-resumes (elastic-lite,

@@ -93,6 +93,14 @@ def save_checkpoint(
             int(d) for d in os.listdir(root) if re.fullmatch(r"\d+", d)
         )
         kept = set(sorted(set(on_disk) | {step})[-keep:])
+        if async_save and on_disk:
+            # The save for `step` is still serializing (orbax writes into
+            # a tmp-named dir the \d+ filter doesn't see). Keep the newest
+            # COMMITTED checkpoint too, or a crash before the async commit
+            # would leave keep=1 runs with zero restorable checkpoints.
+            # The extra dir is pruned by the next save, when `step` is
+            # durable (wait_until_finished above serializes saves).
+            kept.add(max(on_disk))
         if protect is not None:
             kept.update(
                 (protect,) if isinstance(protect, int) else

@@ -112,6 +112,29 @@ def test_retention_protects_best_step(tmp_path):
     assert int(restored.step) == int(state.step)
 
 
+def test_async_keep1_retains_last_committed_until_next_save(tmp_path):
+    """With keep=1 and async saves, the prune after launching save(S)
+    must keep the newest COMMITTED checkpoint too — save(S) is still
+    serializing, so deleting the previous one leaves a crash window with
+    zero restorable checkpoints. The extra dir is reclaimed by the next
+    save, once S is durable."""
+    from gea.utils.checkpoint import wait_for_checkpoints
+
+    cfg = tiny_cfg(save_path=str(tmp_path))
+    _, _, _, state = make_state(cfg)
+    root = os.path.join(str(tmp_path), "checkpoints")
+    save_checkpoint(str(tmp_path), 1, state, keep=1, async_save=True)
+    save_checkpoint(str(tmp_path), 2, state, keep=1, async_save=True)
+    # step 1 (the last committed) must still be on disk right now
+    assert 1 in {int(d) for d in os.listdir(root) if d.isdigit()}
+    save_checkpoint(str(tmp_path), 3, state, keep=1, async_save=True)
+    wait_for_checkpoints()
+    steps = sorted(int(d) for d in os.listdir(root) if d.isdigit())
+    assert steps == [2, 3]  # 1 reclaimed once 2 was durable; 2 kept for 3
+    restored = restore_checkpoint(str(tmp_path), state, step=3)
+    assert int(restored.step) == int(state.step)
+
+
 def test_retention_protects_committed_and_pending_best(tmp_path):
     """During async best tracking there are TWO steps that must survive
     pruning: the one best.json durably points at and the newer pending

@@ -97,6 +97,41 @@ def test_full_cli_flow(tmp_path):
     assert any(f.endswith(".png") for f in os.listdir(ri_out))
 
 
+@pytest.mark.slow
+def test_r_trainers_honor_debug_checks(tmp_path):
+    """--debug_checks must instrument the R trainers too (build_step_fn is
+    shared): a clean tiny run completes under checkify, and ragged-count
+    R sampling pads to the compiled batch instead of recompiling."""
+    from gea.cli import sample_r_iterative, train_glis, train_r_iterative, train_r_separate
+
+    g_dir = str(tmp_path / "g")
+    train_glis.main(
+        TINY + ["--r_iterations", "1", "--niter", "2", "--vis_interval", "2",
+                "--save_interval", "2", "--save_path", g_dir]
+    )
+    train_r_separate.main(
+        ["--g_path", g_dir, "--save_path", str(tmp_path / "r"),
+         "--niter", "2", "--batch_size", "4", "--vis_interval", "2",
+         "--save_interval", "2", "--log_interval", "1", "--vis_rows", "2",
+         "--num_devices", "1", "--debug_checks"]
+    )
+    # R-iterative routes through the same shared build_step_fn (checkify
+    # compile of the joint unrolled chain is minutes on CPU, so the
+    # sanitizer e2e above stands in for it); run it plain here to feed
+    # the ragged-sampler check.
+    ri_dir = str(tmp_path / "ri")
+    train_r_iterative.main(
+        TINY + ["--niter", "2", "--r_chain_length", "1", "--vis_interval",
+                "2", "--save_interval", "2", "--save_path", ri_dir]
+    )
+    # ragged count (5 over batch 4): one full + one padded batch
+    sample_r_iterative.main(
+        ["--load_path", ri_dir, "--save_path_samples", str(tmp_path / "s"),
+         "--count", "5", "--batch_size", "4"]
+    )
+    assert os.listdir(str(tmp_path / "s"))
+
+
 def test_compat_shims_exist_and_point_at_cli():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     expected = {
