@@ -37,16 +37,11 @@ import time
 
 import gea  # noqa: F401  (applies the GEA_PLATFORM override before jax init)
 import jax
-import jax.numpy as jnp
-import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 
-# Flagship config (BASELINE.json config 3 shape; batch sized for MXU
-# occupancy on a single chip).
-IMAGE_SIZE = 80
-CODE_SIZE = 256
-R_ITERATIONS = 3
+# Flagship config: benchmarks/common.py FLAGSHIP (BASELINE.json config 3
+# shape; batch sized for MXU occupancy on a single chip).
 BATCH = int(os.environ.get("GEA_BENCH_BATCH", "256"))
 WARMUP = 3
 STEPS = int(os.environ.get("GEA_BENCH_STEPS", "20"))
@@ -55,44 +50,20 @@ VARIANTS = os.environ.get("GEA_BENCH_VARIANTS", "pallas,g_two_forward")
 
 
 def time_config(use_pallas: bool, share_g_forward, reps: int) -> dict:
-    """Median/spread over `reps` timing repetitions of STEPS steps each."""
-    from gea.config import TrainGLISConfig
-    from gea.models import Discriminator, GeneratorLIS
-    from gea.train.state import create_glis_state, make_optimizer
-    from gea.train.steps import build_glis_train_step
+    """Median/spread over `reps` timing repetitions of STEPS steps each.
 
-    cfg = TrainGLISConfig(
-        image_size=IMAGE_SIZE,
-        code_size=CODE_SIZE,
-        r_iterations=R_ITERATIONS,
-        norm="weight",
-        num_features=64,
-        max_features=512,
-        dtype="bfloat16",
-        dataset="synthetic",
-        batch_size=BATCH,
-        lr=2e-4,
-        use_pallas=use_pallas,
-    )
-    generator = GeneratorLIS.from_config(cfg)
-    discriminator = Discriminator.from_config(cfg)
-    tx_g = make_optimizer(cfg.lr, cfg.beta1, cfg.beta2)
-    tx_d = make_optimizer(cfg.lr, cfg.beta1, cfg.beta2)
-    state = create_glis_state(cfg, generator, discriminator, tx_g, tx_d, 0)
-    step = jax.jit(
-        build_glis_train_step(
-            cfg, generator, discriminator, tx_g, tx_d,
-            share_g_forward=share_g_forward,
-        ),
-        donate_argnums=0,
+    The workload definition is shared with ab_step.py/mfu_probe.py
+    (benchmarks/common.py) so every probe measures the headline config.
+    """
+    from benchmarks.common import (
+        build_flagship_step,
+        flagship_config,
+        flagship_real_batch,
     )
 
-    real = jnp.asarray(
-        np.random.default_rng(0)
-        .uniform(-1, 1, (BATCH, IMAGE_SIZE, IMAGE_SIZE, 3))
-        .astype(np.float32)
-    )
-    real = jax.device_put(real)
+    cfg = flagship_config(BATCH, use_pallas=use_pallas)
+    state, step = build_flagship_step(cfg, share_g_forward=share_g_forward)
+    real = flagship_real_batch(cfg)
 
     for _ in range(WARMUP):
         state, metrics = step(state, real)

@@ -28,37 +28,17 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import gea  # noqa: F401,E402  (applies the GEA_PLATFORM override; jax
+# backends initialize lazily, so doing this after `import jax` is fine)
+
 
 def build(use_pallas: bool, share_g_forward, batch: int, image_size: int):
-    from gea.config import TrainGLISConfig
-    from gea.models import Discriminator, GeneratorLIS
-    from gea.train.state import create_glis_state, make_optimizer
-    from gea.train.steps import build_glis_train_step
+    # One shared workload definition (benchmarks/common.py): A/B rows must
+    # measure exactly the headline bench.py config.
+    from benchmarks.common import build_flagship_step, flagship_config
 
-    cfg = TrainGLISConfig(
-        image_size=image_size,
-        code_size=256,
-        r_iterations=3,
-        norm="weight",
-        num_features=64,
-        max_features=512,
-        dtype="bfloat16",
-        dataset="synthetic",
-        batch_size=batch,
-        use_pallas=use_pallas,
-    )
-    g = GeneratorLIS.from_config(cfg)
-    d = Discriminator.from_config(cfg)
-    tx_g = make_optimizer(cfg.lr, cfg.beta1, cfg.beta2)
-    tx_d = make_optimizer(cfg.lr, cfg.beta1, cfg.beta2)
-    state = create_glis_state(cfg, g, d, tx_g, tx_d, 0)
-    step = jax.jit(
-        build_glis_train_step(
-            cfg, g, d, tx_g, tx_d, share_g_forward=share_g_forward
-        ),
-        donate_argnums=0,
-    )
-    return state, step
+    cfg = flagship_config(batch, image_size=image_size, use_pallas=use_pallas)
+    return build_flagship_step(cfg, share_g_forward=share_g_forward)
 
 
 def main():

@@ -41,7 +41,6 @@ def ensure_dataset(root: str, n: int = 512) -> str:
             ],
             -1,
         )
-        from PIL import Image
 
         Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(
             os.path.join(out, f"b{i:04d}.jpg"), quality=92

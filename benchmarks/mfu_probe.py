@@ -40,14 +40,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import gea  # noqa: F401,E402  (applies the GEA_PLATFORM override before
+# any jax backend init — backends initialize lazily on first device use)
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-IMAGE_SIZE = 80
-CODE_SIZE = 256
-R_ITERATIONS = 3
 # XLA-counted cost of the shipped step at batch 256 (benchmarks/KERNELS.md);
 # scaled linearly for other batches. v5e bf16 peak: 197 TFLOPS.
 FLOP_PER_STEP_B256 = 2.61e12
@@ -55,19 +54,11 @@ PEAK_TFLOPS = 197.0
 
 
 def build_step(cfg, gen_overrides):
-    from gea.models import Discriminator, GeneratorLIS
-    from gea.train.state import create_glis_state, make_optimizer
-    from gea.train.steps import build_glis_train_step
+    # Shared flagship builder (benchmarks/common.py): every probe row must
+    # measure the same workload bench.py reports.
+    from benchmarks.common import build_flagship_step
 
-    generator = GeneratorLIS.from_config(cfg, **gen_overrides)
-    discriminator = Discriminator.from_config(cfg)
-    tx_g = make_optimizer(cfg.lr, cfg.beta1, cfg.beta2)
-    tx_d = make_optimizer(cfg.lr, cfg.beta1, cfg.beta2)
-    state = create_glis_state(cfg, generator, discriminator, tx_g, tx_d, 0)
-    step = jax.jit(
-        build_glis_train_step(cfg, generator, discriminator, tx_g, tx_d),
-        donate_argnums=0,
-    )
+    state, step = build_flagship_step(cfg, gen_overrides=gen_overrides)
     return step, state
 
 
@@ -147,21 +138,9 @@ def patched_convs(mode):
 
 
 def run_variant(name, batch, steps, warmup):
-    from gea.config import TrainGLISConfig
+    from benchmarks.common import flagship_config
 
-    cfg = TrainGLISConfig(
-        image_size=IMAGE_SIZE,
-        code_size=CODE_SIZE,
-        r_iterations=R_ITERATIONS,
-        norm="weight",
-        num_features=64,
-        max_features=512,
-        dtype="bfloat16",
-        dataset="synthetic",
-        batch_size=batch,
-        lr=2e-4,
-        use_pallas=False,
-    )
+    cfg = flagship_config(batch)
     gen_overrides = {}
     if name == "subpixel_seed":
         gen_overrides["subpixel_mode"] = "seed"
@@ -175,14 +154,10 @@ def run_variant(name, batch, steps, warmup):
         mm = jax.default_matmul_precision("float32")
 
     with patched_convs(name), mm:
+        from benchmarks.common import flagship_real_batch
+
         step, state = build_step(cfg, gen_overrides)
-        real = jax.device_put(
-            jnp.asarray(
-                np.random.default_rng(0)
-                .uniform(-1, 1, (batch, IMAGE_SIZE, IMAGE_SIZE, 3))
-                .astype(np.float32)
-            )
-        )
+        real = flagship_real_batch(cfg)
         for _ in range(warmup):
             state, metrics = step(state, real)
         float(metrics["loss_d"])  # sync (see module docstring)
@@ -222,6 +197,11 @@ def main():
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--variants", nargs="*", default=ALL)
     args = p.parse_args()
+    unknown = sorted(set(args.variants) - set(ALL))
+    if unknown:
+        # A typo'd variant would silently measure the baseline and print
+        # it under the wrong label — a bogus "no speedup" row.
+        raise SystemExit(f"unknown variants {unknown}; choose from {ALL}")
     print(f"device: {jax.devices()[0]}  batch={args.batch}")
     for name in args.variants:
         run_variant(name, args.batch, args.steps, args.warmup)

@@ -34,7 +34,11 @@ from gea.utils.checkpoint import restore_checkpoint
 def main(argv: Optional[list] = None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--load_path", required=True, help="R-iterative run dir")
-    p.add_argument("--dataset", default="synthetic")
+    p.add_argument(
+        "--dataset", default="",
+        help="real-data source for the Frechet reference (default: the "
+        "run's own training dataset from its config.json)",
+    )
     p.add_argument("--dataroot", default="")
     p.add_argument("--num_samples", type=int, default=2048)
     p.add_argument("--batch_size", type=int, default=128)
@@ -119,7 +123,7 @@ def main(argv: Optional[list] = None):
     def make_reals():
         return real_batch_iter(
             cfg.replace(
-                dataset=a.dataset,
+                dataset=a.dataset or cfg.dataset,
                 dataroot=a.dataroot or cfg.dataroot,
                 batch_size=a.batch_size,
             ),
@@ -141,6 +145,11 @@ def main(argv: Optional[list] = None):
 
     result = {
         "metric": bundle.label,
+        # Provenance of the reference distribution: without it, a score
+        # measured against the wrong reals is indistinguishable from a
+        # real eval in the saved artifact.
+        "real_dataset": a.dataset or cfg.dataset,
+        "real_dataroot": a.dataroot or cfg.dataroot,
         "num_samples": a.num_samples,
         "lambda_r": cfg.lambda_r,
         "chain_length_trained": cfg.r_chain_length,

@@ -27,7 +27,11 @@ from gea.eval.fid import MetricBundle
 def main(argv: Optional[list] = None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--load_path", required=True, help="trained G-LIS run dir")
-    p.add_argument("--dataset", default="synthetic")
+    p.add_argument(
+        "--dataset", default="",
+        help="real-data source for the Frechet reference (default: the "
+        "run's own training dataset from its config.json)",
+    )
     p.add_argument("--dataroot", default="")
     p.add_argument("--num_samples", type=int, default=2048)
     p.add_argument("--batch_size", type=int, default=128)
@@ -108,7 +112,7 @@ def main(argv: Optional[list] = None):
     def make_reals():
         return real_batch_iter(
             cfg.replace(
-                dataset=a.dataset,
+                dataset=a.dataset or cfg.dataset,
                 dataroot=a.dataroot or cfg.dataroot,
                 batch_size=a.batch_size,
             ),
@@ -127,6 +131,11 @@ def main(argv: Optional[list] = None):
         stages.append(row)
     result = {
         "metric": bundle.label,
+        # Provenance of the reference distribution: without it, a score
+        # measured against the wrong reals is indistinguishable from a
+        # real eval in the saved artifact.
+        "real_dataset": a.dataset or cfg.dataset,
+        "real_dataroot": a.dataroot or cfg.dataroot,
         "num_samples": a.num_samples,
         "stages": stages,
         "load_path": os.path.abspath(a.load_path),

@@ -25,7 +25,12 @@ class GrainFolderLoader:
     ):
         import grain
 
-        from gea.data.pipeline import _decode
+        from gea.data.pipeline import _decode, require_enough_images
+
+        # Same fail-fast contract as every other folder backend: grain's
+        # endless repeat would otherwise fill batches with ~(batch/n)x
+        # duplicated images and train silently on degenerate data.
+        require_enough_images(len(paths), batch_size, "grain loader input")
 
         self.batch_size = batch_size
         self.crop_size = crop_size
