@@ -39,8 +39,19 @@ def prepare_run(cfg) -> str:
         # auto-detectable environment (and the 2-process CPU smoke test,
         # tests/test_multihost.py) configure the coordinator explicitly
         # through GEA_COORDINATOR/GEA_NUM_PROCESSES/GEA_PROCESS_ID.
+        # initialize() is once-per-process; a second trainer in the same
+        # process (e.g. R-separate after its G run, or tests) must not
+        # re-rendezvous.
+        from jax._src import distributed as _dist
+
+        already = (
+            getattr(getattr(_dist, "global_state", None), "client", None)
+            is not None
+        )
         coord = os.environ.get("GEA_COORDINATOR", "")
-        if coord:
+        if already:
+            pass
+        elif coord:
             jax.distributed.initialize(
                 coordinator_address=coord,
                 num_processes=int(os.environ["GEA_NUM_PROCESSES"]),

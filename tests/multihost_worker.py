@@ -62,6 +62,32 @@ def main() -> None:
         for x in jax.tree_util.tree_leaves(local_copy(state.params_g))
     ]
     flat = np.concatenate(leaves)
+    # Phase 2: R-separate against the LEAD's finished G run (shared-FS
+    # pod assumption) — exercises the multihost ordering fix (config read
+    # before checkpoint restore) and the per-process-slab dummy input.
+    from gea.cli.train_r_separate import run as run_r
+    from gea.config import TrainRSeparateConfig
+
+    r_cfg = TrainRSeparateConfig(
+        g_path=os.path.join(out_dir, "run0"),
+        save_path=os.path.join(out_dir, f"runr{proc_id}"),
+        niter=2,
+        batch_size=8,
+        log_interval=1,
+        vis_interval=100,
+        save_interval=2,
+        seed=7,
+        num_devices=8,
+        multihost=True,
+        dtype="float32",
+    )
+    r_state, _ = run_r(r_cfg)
+    r_leaves = [
+        np.asarray(x).ravel()
+        for x in jax.tree_util.tree_leaves(local_copy(r_state.params_r))
+    ]
+    r_flat = np.concatenate(r_leaves)
+
     result = {
         "process_index": jax.process_index(),
         "process_count": jax.process_count(),
@@ -70,6 +96,10 @@ def main() -> None:
         "final_step": int(np.asarray(jax.device_get(state.step)).reshape(-1)[0]),
         "params_sum": float(np.sum(flat)),
         "params_head": [float(v) for v in flat[:5]],
+        "r_final_step": int(
+            np.asarray(jax.device_get(r_state.step)).reshape(-1)[0]
+        ),
+        "r_params_sum": float(np.sum(r_flat)),
     }
     with open(os.path.join(out_dir, f"result{proc_id}.json"), "w") as f:
         json.dump(result, f)

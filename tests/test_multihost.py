@@ -118,6 +118,16 @@ def test_two_process_dp_matches_single_process(tmp_path):
     assert os.listdir(os.path.join(lead_run, "checkpoints"))
     assert os.listdir(follower_run) == []  # prepare_run mkdir only
 
+    # Phase 2 (R-separate over the lead's frozen G) trained and agreed
+    # across processes; lead-only artifact writes hold there too.
+    for r in results:
+        assert r["r_final_step"] == 2
+    assert results[0]["r_params_sum"] == pytest.approx(
+        results[1]["r_params_sum"], rel=1e-6
+    )
+    assert os.listdir(os.path.join(out_dir, "runr0", "checkpoints"))
+    assert os.listdir(os.path.join(out_dir, "runr1")) == []
+
     # Cross-process pmean DP must agree with the same config run in ONE
     # process over 8 virtual devices (this pytest process has them).
     from gea.cli.train_glis import run as train_run
