@@ -92,6 +92,33 @@ def test_export_roundtrip_symbolic_batch(glis_run, tmp_path):
 
 
 @pytest.mark.slow
+def test_export_n_stages_without_initial_image(tmp_path):
+    """The exported program renders via generator.render(), which ALWAYS
+    includes the initial pre-LIS image — the manifest must count what the
+    artifact actually emits, not generator.n_stages (regression:
+    include_initial_image=False runs undercounted by one)."""
+    from gea import serve
+    from gea.cli import export_model, train_glis
+
+    run = str(tmp_path / "g_noinit")
+    train_glis.main(
+        TINY + ["--include_initial_image", "false", "--save_path", run]
+    )
+    out = str(tmp_path / "art_noinit")
+    export_model.main(
+        ["--load_path", run, "--out", out, "--all_stages", "1",
+         "--platforms", "cpu", "--selfcheck", "0"]
+    )
+    model = serve.load(out)
+    z = np.random.default_rng(0).standard_normal((2, 16)).astype(np.float32)
+    got = model(z)
+    # r_iterations=1, no initial image: generator.n_stages == 1, but the
+    # render emits 2 stages — manifest must say 2.
+    assert got["stages"].shape[0] == 2
+    assert model.manifest["n_stages"] == got["stages"].shape[0]
+
+
+@pytest.mark.slow
 def test_stream_pipelined_matches_sequential(glis_run, tmp_path):
     """stream() is the production serving path: same results as
     one-at-a-time __call__, order preserved, mixed batch sizes through
