@@ -202,9 +202,10 @@ def main(argv: Optional[list] = None):
     p.add_argument(
         "--second_opinion", action="store_true",
         help="also score with an independent second random-feature net "
-        "(proxy-FID-b) and with KID (cubic-kernel MMD, a different metric "
-        "family) — rank agreement across the three is evidence a result "
-        "is not a one-metric artifact",
+        "(proxy-FID-b), KID (cubic-kernel MMD), and improved "
+        "precision/recall (k-NN manifolds: fidelity vs diversity split) — "
+        "rank agreement across metric families is evidence a result is "
+        "not a one-metric artifact",
     )
     a = p.parse_args(argv)
 
@@ -268,6 +269,10 @@ def main(argv: Optional[list] = None):
             "kid_metric": f"KID over {bundle.label} features, x1000",
             "kid_x1000": scores["kid_x1000"],
             "kid_x1000_std": scores["kid_x1000_std"],
+            # Kynkäänniemi-style k-NN manifold membership: fidelity vs
+            # diversity split over the same feature matrices.
+            "precision": scores["precision"],
+            "recall": scores["recall"],
         }
     if a.r_path:
         result["r_path"] = os.path.abspath(a.r_path)

@@ -283,6 +283,45 @@ def compute_features(
     return np.concatenate(feats, axis=0)
 
 
+def precision_recall(
+    real_feats: np.ndarray,
+    fake_feats: np.ndarray,
+    k: int = 3,
+) -> Tuple[float, float]:
+    """Improved precision & recall (Kynkäänniemi et al. 2019): manifold
+    membership via k-NN radii. precision = fraction of fakes inside the
+    real manifold (fidelity), recall = fraction of reals inside the fake
+    manifold (diversity/coverage). Splits the two failure modes a single
+    scalar distance (FID/KID) conflates — exactly the trade the
+    error-avoidance correction claims to make (fidelity up, coverage at
+    risk)."""
+
+    def _radii(x: np.ndarray) -> np.ndarray:
+        d = np.linalg.norm(x[:, None, :] - x[None, :, :], axis=-1)
+        np.fill_diagonal(d, np.inf)
+        # distance to the k-th nearest neighbor (k >= 1)
+        return np.partition(d, k - 1, axis=1)[:, k - 1]
+
+    def _covered(q: np.ndarray, ref: np.ndarray, ref_r: np.ndarray) -> float:
+        d = np.linalg.norm(q[:, None, :] - ref[None, :, :], axis=-1)
+        return float(np.mean(np.any(d <= ref_r[None, :], axis=1)))
+
+    real = np.asarray(real_feats, np.float64)
+    fake = np.asarray(fake_feats, np.float64)
+    # Dense NxN distances: cap the sample count so a 10k-sample eval
+    # doesn't allocate an 800 MB matrix (4096^2 x 8B = 134 MB worst case).
+    cap = 4096
+    rng = np.random.default_rng(0)
+    if real.shape[0] > cap:
+        real = real[rng.choice(real.shape[0], cap, replace=False)]
+    if fake.shape[0] > cap:
+        fake = fake[rng.choice(fake.shape[0], cap, replace=False)]
+    return (
+        _covered(fake, real, _radii(real)),   # precision
+        _covered(real, fake, _radii(fake)),   # recall
+    )
+
+
 def _poly_kernel(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     d = x.shape[1]
     return (x @ y.T / d + 1.0) ** 3
@@ -452,12 +491,15 @@ class MetricBundle:
                 ),
                 ndigits,
             )
-            kid_mean, kid_std = kid_score(
-                np.concatenate(r.feats, axis=0),
-                np.concatenate(g.feats, axis=0),
-            )
+            rf = np.concatenate(r.feats, axis=0)
+            gf = np.concatenate(g.feats, axis=0)
+            kid_mean, kid_std = kid_score(rf, gf)
             out["kid_x1000"] = round(kid_mean * 1000, ndigits)
             out["kid_x1000_std"] = round(kid_std * 1000, ndigits)
+            # Third family: fidelity/diversity split over the same feats.
+            prec, rec = precision_recall(rf, gf)
+            out["precision"] = round(prec, ndigits)
+            out["recall"] = round(rec, ndigits)
         return out
 
 

@@ -67,6 +67,32 @@ def test_compute_fid_separates_distributions(rng):
     assert diff > 10 * max(same, 1e-6)
 
 
+def test_precision_recall_manifold_semantics(rng):
+    """Improved P&R: identical distributions score high on both; a fake
+    distribution that is a SUBSET of the reals keeps precision high but
+    drops recall (mode collapse signature); disjoint clouds score ~0/0."""
+    from gea.eval.fid import precision_recall
+
+    real = rng.normal(0, 1, (256, 16))
+    same = rng.normal(0, 1, (256, 16))
+    # finite-sample k-NN manifolds are conservative (~0.7-0.9 for
+    # identical 256x16-dim Gaussians) — the discriminative GAPS below
+    # are the semantics under test
+    p, r = precision_recall(real, same)
+    assert p > 0.7 and r > 0.7
+    # mode collapse: every fake lands in a tiny cluster around ONE real
+    # point — precision stays high (inside the real manifold), recall
+    # collapses (the tight fake manifold covers almost no reals)
+    collapsed = real[:1] + rng.normal(0, 0.05, (256, 16))
+    p_sub, r_sub = precision_recall(real, collapsed)
+    assert p_sub > 0.9
+    assert r_sub < 0.2
+    # disjoint
+    far = rng.normal(50, 1, (256, 16))
+    p_far, r_far = precision_recall(real, far)
+    assert p_far < 0.05 and r_far < 0.05
+
+
 def test_frechet_rank_deficient_is_finite(rng):
     """Fewer samples than feature dims (rank-deficient covariance) must
     still yield a finite distance via eps regularization — a NaN here
