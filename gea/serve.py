@@ -196,6 +196,52 @@ class ServingModel:
         return out
 
 
+def _main(argv=None) -> None:
+    """Deployment-side sampler: render a grid straight from an artifact.
+
+        python -m gea.serve exports/glis3_80 --count 64 --out samples/
+
+    Needs jax + numpy + PIL only — no Flax, no model code, no run dir
+    (the reference's only deployment story re-runs its training-repo
+    samplers against torch checkpoints, SURVEY.md §3.2).
+    """
+    import argparse
+    import math
+
+    p = argparse.ArgumentParser(description=_main.__doc__)
+    p.add_argument("artifact", help="export_model output dir")
+    p.add_argument("--count", type=int, default=64)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--rows", type=int, default=8)
+    p.add_argument("--out", default="serve_samples")
+    a = p.parse_args(argv)
+
+    model = load(a.artifact)
+    out = model.sample(a.count, seed=a.seed, batch_size=a.batch_size)
+    os.makedirs(a.out, exist_ok=True)
+
+    imgs = out["images"]  # (N, H, W, 3) uint8
+    n, h, w, _ = imgs.shape
+    cols = math.ceil(n / a.rows)
+    rows = math.ceil(n / cols)
+    grid = np.zeros((rows * h, cols * w, 3), np.uint8)
+    for i in range(n):
+        r, c = divmod(i, cols)
+        grid[r * h : (r + 1) * h, c * w : (c + 1) * w] = imgs[i]
+    from PIL import Image
+
+    grid_path = os.path.join(a.out, "samples.png")
+    Image.fromarray(grid).save(grid_path)
+    wrote = [grid_path]
+    if "scores" in out:
+        scores_path = os.path.join(a.out, "scores.json")
+        with open(scores_path, "w") as f:
+            json.dump([round(float(s), 6) for s in out["scores"]], f)
+        wrote.append(scores_path)
+    print(f"[gea.serve] wrote {', '.join(wrote)} ({n} samples)")
+
+
 def load(path: str) -> ServingModel:
     """Load an exported run directory (or a direct path to the artifact)."""
     if os.path.isdir(path):
@@ -221,3 +267,7 @@ def load(path: str) -> ServingModel:
     with open(man) as f:
         manifest: Dict[str, Any] = json.load(f)
     return ServingModel(exported, manifest)
+
+
+if __name__ == "__main__":
+    _main()

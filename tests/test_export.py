@@ -90,6 +90,14 @@ def test_export_roundtrip_symbolic_batch(glis_run, tmp_path):
         )
         serve.load(str(lone))
 
+    # deployment-side CLI: grid + scores straight from the artifact
+    cli_out = str(tmp_path / "cli")
+    serve._main([str(tmp_path / "art"), "--count", "5", "--batch_size", "3",
+                 "--rows", "2", "--out", cli_out])
+    assert sorted(os.listdir(cli_out)) == ["samples.png", "scores.json"]
+    with open(os.path.join(cli_out, "scores.json")) as f:
+        assert len(json.load(f)) == 5
+
 
 @pytest.mark.slow
 def test_export_n_stages_without_initial_image(tmp_path):
