@@ -21,6 +21,23 @@ from gea.utils.checkpoint import restore_checkpoint
 from gea.utils.grids import save_stage_gif, save_stage_grids
 
 
+def pad_to_batch(z, sn, batch_size: int):
+    """Pad a ragged final batch up to the compiled batch shape (callers
+    slice outputs back to the true count): a new input shape would
+    recompile the whole unrolled render/correction chain for one batch —
+    minutes on a tunneled chip. Shared by both R samplers."""
+    import jax.numpy as jnp
+
+    n = z.shape[0]
+    if n == batch_size:
+        return z, sn
+    pad = batch_size - n
+    z = jnp.concatenate([z, jnp.zeros((pad, z.shape[1]), z.dtype)])
+    if sn is not None:
+        sn = jnp.concatenate([sn, jnp.zeros((pad, *sn.shape[1:]), sn.dtype)])
+    return z, sn
+
+
 def load_generator(
     load_path: str,
     step: Optional[int] = None,

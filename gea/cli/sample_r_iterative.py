@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gea.cli.sample import pad_to_batch
 from gea.config import TrainRIterativeConfig
 from gea.models import GeneratorLIS, Reverter
 from gea.utils.checkpoint import restore_checkpoint
@@ -60,16 +61,7 @@ def run(
             if sn_shape
             else None
         )
-        if n < batch_size:
-            # Pad the ragged tail to the compiled batch shape and slice
-            # after: a new input shape would recompile the whole unrolled
-            # chain for one batch (minutes on a tunneled chip).
-            pad = batch_size - n
-            z = jnp.concatenate([z, jnp.zeros((pad, z.shape[1]), z.dtype)])
-            if sn is not None:
-                sn = jnp.concatenate(
-                    [sn, jnp.zeros((pad, *sn.shape[1:]), sn.dtype)]
-                )
+        z, sn = pad_to_batch(z, sn, batch_size)  # ragged tail: no recompile
         imgs = np.asarray(jax.device_get(chain(z, sn)))[:, :n]
         save_stage_grids(imgs, out_dir, batch_idx, rows=grid_rows)
         done += n

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gea.config import TrainRSeparateConfig
-from gea.cli.sample import load_generator
+from gea.cli.sample import load_generator, pad_to_batch
 from gea.models import Reverter
 from gea.utils.checkpoint import restore_checkpoint
 from gea.utils.grids import save_stage_grids
@@ -84,16 +84,7 @@ def run(
             if sn_shape
             else None
         )
-        if n < batch_size:
-            # Pad the ragged tail to the compiled batch shape and slice
-            # after: a new input shape would recompile the whole unrolled
-            # chain for one batch (minutes on a tunneled chip).
-            pad = batch_size - n
-            z = jnp.concatenate([z, jnp.zeros((pad, z.shape[1]), z.dtype)])
-            if sn is not None:
-                sn = jnp.concatenate(
-                    [sn, jnp.zeros((pad, *sn.shape[1:]), sn.dtype)]
-                )
+        z, sn = pad_to_batch(z, sn, batch_size)  # ragged tail: no recompile
         imgs = np.asarray(jax.device_get(correction_chain(z, sn)))[:, :n]
         save_stage_grids(imgs, out_dir, batch_idx, rows=grid_rows)
         done += n

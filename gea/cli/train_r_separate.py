@@ -28,6 +28,7 @@ from gea.train.runner import (
     TrainLoop,
     build_step_fn,
     dispatch_chunk,
+    dummy_input,
     maybe_resume,
     prepare_run,
     resolve_mesh,
@@ -75,29 +76,6 @@ def create_r_state(cfg, reverter: Reverter, tx_r, seed: int) -> GANTrainState:
         extras_r=extras_r,
         opt_r=tx_r.init(params_r),
     )
-
-
-def _dummy_data(mesh, k: int = 1):
-    """R-separate consumes no real data; this feeds the generic TrainLoop a
-    shardable placeholder batch ((k, n) when dispatch is chunked). Same
-    protocol as runner.input_iterator's on-device-synthetic dummies: each
-    process supplies its LOCAL slab, assembled into a global array when
-    the mesh spans multiple hosts."""
-    from gea.parallel.dp import batch_sharding
-
-    n = mesh.devices.size if mesh is not None else 1
-    n_local = n // jax.process_count()
-    z = (
-        np.zeros((k, n_local), np.float32)
-        if k > 1
-        else np.zeros((n_local,), np.float32)
-    )
-    if mesh is not None:
-        sh = batch_sharding(mesh, chunked=k > 1)
-        if not sh.is_fully_addressable:
-            z = jax.make_array_from_process_local_data(sh, z)
-    while True:
-        yield z
 
 
 def make_vis_fn(cfg, generator, g_variables, reverter, run_dir: str):
@@ -282,7 +260,7 @@ def run(cfg: TrainRSeparateConfig):
         run_dir,
         state,
         step_fn,
-        _dummy_data(mesh, dispatch_chunk(cfg)),
+        dummy_input(mesh, dispatch_chunk(cfg)),
         vis_fn=vis,
         num_chips=num_chips,
         loss_keys=("loss_r",),

@@ -296,30 +296,49 @@ def precision_recall(
     error-avoidance correction claims to make (fidelity up, coverage at
     risk)."""
 
-    def _radii(x: np.ndarray) -> np.ndarray:
-        d = np.linalg.norm(x[:, None, :] - x[None, :, :], axis=-1)
-        np.fill_diagonal(d, np.inf)
-        # distance to the k-th nearest neighbor (k >= 1)
-        return np.partition(d, k - 1, axis=1)[:, k - 1]
-
-    def _covered(q: np.ndarray, ref: np.ndarray, ref_r: np.ndarray) -> float:
-        d = np.linalg.norm(q[:, None, :] - ref[None, :, :], axis=-1)
-        return float(np.mean(np.any(d <= ref_r[None, :], axis=1)))
-
-    real = np.asarray(real_feats, np.float64)
-    fake = np.asarray(fake_feats, np.float64)
-    # Dense NxN distances: cap the sample count so a 10k-sample eval
-    # doesn't allocate an 800 MB matrix (4096^2 x 8B = 134 MB worst case).
-    cap = 4096
-    rng = np.random.default_rng(0)
-    if real.shape[0] > cap:
-        real = real[rng.choice(real.shape[0], cap, replace=False)]
-    if fake.shape[0] > cap:
-        fake = fake[rng.choice(fake.shape[0], cap, replace=False)]
+    real = _pr_cap(real_feats)
+    fake = _pr_cap(fake_feats)
+    if min(real.shape[0], fake.shape[0]) <= k:
+        raise ValueError(
+            f"precision_recall needs > k={k} samples per side, got "
+            f"{real.shape[0]} real / {fake.shape[0]} fake"
+        )
     return (
-        _covered(fake, real, _radii(real)),   # precision
-        _covered(real, fake, _radii(fake)),   # recall
+        _pr_covered(fake, real, _pr_radii2(real, k)),   # precision
+        _pr_covered(real, fake, _pr_radii2(fake, k)),   # recall
     )
+
+
+def _pr_cap(x: np.ndarray, cap: int = 4096) -> np.ndarray:
+    """Bound the dense NxM distance matrices (4096^2 f64 = 134 MB)."""
+    x = np.asarray(x, np.float64)
+    if x.shape[0] > cap:
+        x = x[np.random.default_rng(0).choice(x.shape[0], cap, replace=False)]
+    return x
+
+
+def _pr_dist2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Squared euclidean distances via the |a|^2+|b|^2-2ab expansion —
+    O(N*M) memory. A broadcast (a[:,None]-b[None]) materializes an
+    O(N*M*D) intermediate: 34 GB at the eval defaults (4096^2 x 256 f64)."""
+    d2 = (
+        np.sum(a * a, axis=1)[:, None]
+        + np.sum(b * b, axis=1)[None, :]
+        - 2.0 * (a @ b.T)
+    )
+    return np.maximum(d2, 0.0)
+
+
+def _pr_radii2(x: np.ndarray, k: int) -> np.ndarray:
+    """Squared distance to each point's k-th nearest neighbor."""
+    d2 = _pr_dist2(x, x)
+    np.fill_diagonal(d2, np.inf)
+    return np.partition(d2, k - 1, axis=1)[:, k - 1]
+
+
+def _pr_covered(q: np.ndarray, ref: np.ndarray, ref_r2: np.ndarray) -> float:
+    d2 = _pr_dist2(q, ref)
+    return float(np.mean(np.any(d2 <= ref_r2[None, :], axis=1)))
 
 
 def _poly_kernel(x: np.ndarray, y: np.ndarray) -> np.ndarray:
@@ -460,7 +479,9 @@ class MetricBundle:
             self.extract_b, self.label_b = make_feature_extractor(
                 image_size, "random-b"
             )
+        self.pr_k = 3  # k-NN manifold size for precision/recall
         self._reals: Optional[GroupAccumulator] = None
+        self._rf = self._rf_pr = self._real_r2 = None
 
     def group(self) -> GroupAccumulator:
         return GroupAccumulator(self)
@@ -470,6 +491,14 @@ class MetricBundle:
     ) -> None:
         self._reals = self.group()
         self._reals.consume(batches, max_samples)
+        # Cache the real-side matrices once — row() runs per stage/link
+        # and must not redo the concat + k-NN radii each time.
+        self._rf = self._rf_pr = self._real_r2 = None
+        if self.extract_b is not None:
+            self._rf = np.concatenate(self._reals.feats, axis=0)
+            self._rf_pr = _pr_cap(self._rf)
+            if self._rf_pr.shape[0] > self.pr_k:
+                self._real_r2 = _pr_radii2(self._rf_pr, self.pr_k)
 
     def row(self, g: GroupAccumulator, ndigits: int = 4) -> dict:
         """Metric dict for one group vs the reals."""
@@ -491,15 +520,26 @@ class MetricBundle:
                 ),
                 ndigits,
             )
-            rf = np.concatenate(r.feats, axis=0)
             gf = np.concatenate(g.feats, axis=0)
-            kid_mean, kid_std = kid_score(rf, gf)
+            kid_mean, kid_std = kid_score(self._rf, gf)
             out["kid_x1000"] = round(kid_mean * 1000, ndigits)
             out["kid_x1000_std"] = round(kid_std * 1000, ndigits)
-            # Third family: fidelity/diversity split over the same feats.
-            prec, rec = precision_recall(rf, gf)
-            out["precision"] = round(prec, ndigits)
-            out["recall"] = round(rec, ndigits)
+            # Third family: fidelity/diversity split over the same feats
+            # (real radii cached by set_reals). Too-small groups report
+            # null rather than crash a tiny smoke eval.
+            gf_pr = _pr_cap(gf)
+            if self._real_r2 is not None and gf_pr.shape[0] > self.pr_k:
+                out["precision"] = round(
+                    _pr_covered(gf_pr, self._rf_pr, self._real_r2), ndigits
+                )
+                out["recall"] = round(
+                    _pr_covered(
+                        self._rf_pr, gf_pr, _pr_radii2(gf_pr, self.pr_k)
+                    ),
+                    ndigits,
+                )
+            else:
+                out["precision"] = out["recall"] = None
         return out
 
 

@@ -126,6 +126,32 @@ def _stack_chunks(batches: Iterator[np.ndarray], k: int) -> Iterator[np.ndarray]
         yield np.stack([next(batches) for _ in range(k)])
 
 
+def dummy_input(mesh, k: int = 1) -> Iterator[Any]:
+    """Endless shardable placeholder batches for steps that consume no
+    real data (on-device-synthetic G-LIS, R-separate). Each process
+    supplies its LOCAL slab; on a multihost mesh the (constant) global
+    array is assembled once via make_array_from_process_local_data —
+    the ONE definition of the dummy-slab protocol, shared by every
+    input-free trainer."""
+    n = mesh.devices.size if mesh is not None else 1
+    n_local = n // jax.process_count()
+    dummy = (
+        np.zeros((k, n_local), np.float32)
+        if k > 1
+        else np.zeros((n_local,), np.float32)
+    )
+    if mesh is not None:
+        sh = batch_sharding(mesh, chunked=k > 1)
+        if not sh.is_fully_addressable:
+            dummy = jax.make_array_from_process_local_data(sh, dummy)
+
+    def gen():
+        while True:
+            yield dummy
+
+    return gen()
+
+
 def input_iterator(cfg, mesh, seed: int) -> Iterator[jax.Array]:
     """Device-side input stream.
 
@@ -143,26 +169,7 @@ def input_iterator(cfg, mesh, seed: int) -> Iterator[jax.Array]:
     n_proc = jax.process_count()
     if synthetic_on_device(cfg):
         # The step generates its own data; feed a tiny shardable dummy.
-        # Multihost: each process supplies its LOCAL slab (prefetch
-        # assembles the global array from per-process data).
-        n = mesh.devices.size if mesh is not None else 1
-        n_local = n // n_proc
-        dummy = (
-            np.zeros((k, n_local), np.float32)
-            if k > 1
-            else np.zeros((n_local,), np.float32)
-        )
-        if mesh is not None:
-            sh = batch_sharding(mesh, chunked=k > 1)
-            if not sh.is_fully_addressable:
-                # Multihost: assemble the (constant) global dummy once.
-                dummy = jax.make_array_from_process_local_data(sh, dummy)
-
-        def dummies():
-            while True:
-                yield dummy
-
-        return dummies()
+        return dummy_input(mesh, k)
 
     if n_proc > 1:
         # Multihost: each process decodes/serves only its slab of the
@@ -403,18 +410,13 @@ def maybe_resume(cfg, state):
     """Reference resume contract: --load_path restores an earlier run; an
     existing checkpoint in --save_path auto-resumes (elastic-lite,
     SURVEY.md §5 'Failure detection')."""
-    if cfg.load_path and latest_step(cfg.load_path) is None:
-        # An explicit resume path with nothing in it is a user error —
-        # fail fast instead of silently burning the run budget on a
-        # from-scratch model.
-        raise FileNotFoundError(
-            f"--load_path {cfg.load_path!r} contains no checkpoints"
-        )
     # Precedence: an in-progress save_path WINS over --load_path. The
     # warm start from --load_path applies to the run's FIRST launch only;
     # on a preempted relaunch with identical argv the newer checkpoints
     # in save_path are the run's own progress and must not be rewound to
-    # the original warm-start weights.
+    # the original warm-start weights — and since load_path is ignored on
+    # that relaunch, it may even have been cleaned up by then, so its
+    # fail-fast check only applies when it would actually be used.
     own = latest_step(cfg.save_path) is not None
     if own and cfg.save_path != cfg.load_path:
         source = cfg.save_path
@@ -423,8 +425,17 @@ def maybe_resume(cfg, state):
                 f"[gea] save_path has checkpoints: auto-resuming from it "
                 f"(ignoring --load_path {cfg.load_path} warm start)"
             )
+    elif cfg.load_path:
+        if latest_step(cfg.load_path) is None:
+            # An explicit resume path with nothing in it is a user error —
+            # fail fast instead of silently burning the run budget on a
+            # from-scratch model.
+            raise FileNotFoundError(
+                f"--load_path {cfg.load_path!r} contains no checkpoints"
+            )
+        source = cfg.load_path
     else:
-        source = cfg.load_path or ("" if not own else cfg.save_path)
+        source = cfg.save_path if own else ""
     if not source:
         return state, 0
     restored = restore_checkpoint(source, state)
