@@ -161,6 +161,28 @@ def test_stream_pipelined_matches_sequential(glis_run, tmp_path):
         list(model.stream(iter(batches), depth=0))
 
 
+def test_stream_in_flight_bound():
+    """stream(depth=D) keeps at most D batches in flight: with lazy
+    iteration, exactly D render calls happen before the first yield."""
+    from gea import serve
+
+    calls = []
+
+    class StubExported:
+        def call(self, z):
+            calls.append(z.shape[0])
+            return {"images": z}
+
+    model = serve.ServingModel(StubExported(), {"code_size": 4, "batch": 0})
+    batches = [np.zeros((i + 1, 4), np.float32) for i in range(5)]
+    gen = model.stream(iter(batches), depth=2)
+    first = next(gen)
+    assert len(calls) == 2  # not 3: retire-before-enqueue bounds the window
+    assert first["images"].shape[0] == 1  # order preserved
+    rest = list(gen)
+    assert len(calls) == 5 and [r["images"].shape[0] for r in rest] == [2, 3, 4, 5]
+
+
 @pytest.mark.slow
 def test_export_pinned_batch_and_spatial_noise(tmp_path):
     from gea import serve
