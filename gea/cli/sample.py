@@ -26,8 +26,6 @@ def pad_to_batch(z, sn, batch_size: int):
     slice outputs back to the true count): a new input shape would
     recompile the whole unrolled render/correction chain for one batch —
     minutes on a tunneled chip. Shared by both R samplers."""
-    import jax.numpy as jnp
-
     n = z.shape[0]
     if n == batch_size:
         return z, sn

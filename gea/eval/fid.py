@@ -496,6 +496,7 @@ class MetricBundle:
         self._rf = self._rf_pr = self._real_r2 = None
         if self.extract_b is not None:
             self._rf = np.concatenate(self._reals.feats, axis=0)
+            self._reals.feats = []  # moments already accumulated; drop
             self._rf_pr = _pr_cap(self._rf)
             if self._rf_pr.shape[0] > self.pr_k:
                 self._real_r2 = _pr_radii2(self._rf_pr, self.pr_k)

@@ -206,7 +206,6 @@ def _main(argv=None) -> None:
     samplers against torch checkpoints, SURVEY.md §3.2).
     """
     import argparse
-    import math
 
     p = argparse.ArgumentParser(description=_main.__doc__)
     p.add_argument("artifact", help="export_model output dir")
@@ -217,22 +216,21 @@ def _main(argv=None) -> None:
     p.add_argument("--out", default="serve_samples")
     a = p.parse_args(argv)
 
+    if a.rows < 1:
+        raise SystemExit(f"--rows must be >= 1, got {a.rows}")
     model = load(a.artifact)
     out = model.sample(a.count, seed=a.seed, batch_size=a.batch_size)
     os.makedirs(a.out, exist_ok=True)
 
-    imgs = out["images"]  # (N, H, W, 3) uint8
-    n, h, w, _ = imgs.shape
-    cols = math.ceil(n / a.rows)
-    rows = math.ceil(n / cols)
-    grid = np.zeros((rows * h, cols * w, 3), np.uint8)
-    for i in range(n):
-        r, c = divmod(i, cols)
-        grid[r * h : (r + 1) * h, c * w : (c + 1) * w] = imgs[i]
+    # One grid-layout implementation for the whole package (numpy+PIL
+    # only, so the deployment footprint is unchanged).
     from PIL import Image
 
+    from gea.utils.grids import tile_grid
+
+    n = out["images"].shape[0]
     grid_path = os.path.join(a.out, "samples.png")
-    Image.fromarray(grid).save(grid_path)
+    Image.fromarray(tile_grid(out["images"], rows=a.rows)).save(grid_path)
     wrote = [grid_path]
     if "scores" in out:
         scores_path = os.path.join(a.out, "scores.json")

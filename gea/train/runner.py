@@ -42,14 +42,8 @@ def prepare_run(cfg) -> str:
         # initialize() is once-per-process; a second trainer in the same
         # process (e.g. R-separate after its G run, or tests) must not
         # re-rendezvous.
-        from jax._src import distributed as _dist
-
-        already = (
-            getattr(getattr(_dist, "global_state", None), "client", None)
-            is not None
-        )
         coord = os.environ.get("GEA_COORDINATOR", "")
-        if already:
+        if jax.distributed.is_initialized():
             pass
         elif coord:
             jax.distributed.initialize(
