@@ -322,7 +322,7 @@ class TrainGLISConfig(ModelConfig, DataConfig):
     use_pallas: bool = _flag(
         False,
         "use the fused Pallas LIS/TPReLU kernels on TPU (falls back to XLA "
-        "elsewhere). Default OFF: the pure-XLA lowering measured ~5% faster "
+        "elsewhere). Default OFF: the pure-XLA lowering measured ~5%% faster "
         "on v5e for the flagship config (benchmarks/KERNELS.md) — the "
         "shipped default follows the measurement (DESIGN.md §4)",
     )

@@ -36,6 +36,32 @@ def test_config_argparse_roundtrip():
     assert cfg.n_stages == 2
 
 
+def test_config_help_renders_for_every_cli_config():
+    """argparse --help must not crash on any config class.
+
+    Regression: a bare '%' in a help string ("~5% faster") was parsed by
+    argparse's help interpolation as a '% f' format spec and raised
+    TypeError, so `train_glis --help` crashed (fixed round 3: '%%').
+    """
+    import gea.config as config_mod
+
+    classes = [
+        obj
+        for obj in vars(config_mod).values()
+        if isinstance(obj, type)
+        and issubclass(obj, config_mod.BaseConfig)
+        and obj is not config_mod.BaseConfig
+    ]
+    assert len(classes) >= 6
+    import argparse
+
+    for cls in classes:
+        parser = argparse.ArgumentParser(description=cls.__doc__)
+        cls.add_args(parser)
+        text = parser.format_help()  # raises on bad interpolation
+        assert "--" in text
+
+
 def test_config_json_roundtrip(tmp_path):
     cfg = TrainGLISConfig(image_size=64, r_iterations=1, dataset="synthetic")
     p = str(tmp_path / "config.json")
