@@ -1,0 +1,412 @@
+"""HTTP inference server over an exported artifact, with dynamic batching.
+
+The reference has no serving story at all (its deployment is re-running
+`g_lis/sample.py` against torch checkpoints, SURVEY.md §3.2/L5). This is
+the TPU-native production surface on top of `gea.serve`: a stdlib HTTP
+server whose requests are coalesced into device batches before they hit
+the chip.
+
+Why dynamic batching: the measured serving bottleneck on a networked TPU
+is the per-call host<->device round trip (~30-40 ms vs ~4.5 ms device
+time, docs/RESULTS.md "Serving throughput") — and a v5e at batch 1 leaves
+the MXU ~99% idle. Coalescing concurrent requests into one render
+amortizes both: the batcher gathers up to `--max_batch` rows for at most
+`--max_wait_ms` after the first arrival, renders them as ONE call, and
+splits the outputs back per request.
+
+    python -m gea.serve_http --artifact exports/glis3_80 --port 8000
+
+    POST /render   {"z": [[...], ...]}                  explicit codes
+                   {"count": 16, "seed": 7}             server-drawn codes
+                   optional "format": "png_b64" (default) | "array"
+                   optional "spatial_noise": [...]      --spatial_code runs
+    GET  /healthz  manifest summary
+    GET  /stats    request/batch counters incl. realized batch sizes
+
+Responses are JSON: images as per-sample base64 PNGs (or nested uint8
+arrays), plus "scores" when the artifact carries the discriminator —
+so an error-avoidance client can keep only high-realism renders
+(reference C13) without any model code.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from collections import Counter
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from gea import serve
+
+MAX_BODY = 64 * 1024 * 1024
+
+
+class _Pending:
+    """One submitted request: rows [start, stop) of the next device batch."""
+
+    __slots__ = ("z", "sn", "done", "result", "error")
+
+    def __init__(self, z: np.ndarray, sn: Optional[np.ndarray]):
+        self.z = z
+        self.sn = sn
+        self.done = threading.Event()
+        self.result: Optional[Dict[str, np.ndarray]] = None
+        self.error: Optional[Exception] = None
+
+
+class DynamicBatcher:
+    """Coalesces concurrent render requests into single device calls.
+
+    One worker thread owns the model (device calls are serialized — JAX
+    dispatch is not thread-safe across concurrent tracers): it blocks for
+    the first pending request, keeps gathering until `max_batch` rows are
+    queued or `max_wait_ms` has passed since the first arrival, renders
+    the concatenation as one call, and slices the outputs back out.
+
+    Pinned-batch artifacts (manifest["batch"] > 0) are padded with zero
+    rows up to the pinned size and trimmed after — the gather never
+    exceeds the pinned size.
+    """
+
+    def __init__(self, model, max_batch: int = 64, max_wait_ms: float = 5.0):
+        if max_batch < 1:
+            raise ValueError("max_batch must be >= 1")
+        fixed = int(model.manifest.get("batch", 0))
+        if fixed:
+            max_batch = min(max_batch, fixed)
+        self.model = model
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1e3
+        self._fixed = fixed
+        self._lock = threading.Condition()
+        self._queue: List[_Pending] = []
+        self._closed = False
+        # stats (guarded by _lock)
+        self.requests = 0
+        self.rows = 0
+        self.batch_sizes: Counter = Counter()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # ------------------------------------------------------------- client
+    def submit(
+        self, z: np.ndarray, spatial_noise: Optional[np.ndarray] = None
+    ) -> Dict[str, np.ndarray]:
+        """Validate, enqueue, block until the batch containing this
+        request has been rendered; returns this request's slice."""
+        z = np.asarray(z, np.float32)
+        if z.ndim != 2 or z.shape[1] != self.model.code_size:
+            raise ValueError(
+                f"z must be (n, {self.model.code_size}), got {z.shape}"
+            )
+        if not 1 <= z.shape[0] <= self.max_batch:
+            raise ValueError(
+                f"request rows must be in [1, {self.max_batch}], "
+                f"got {z.shape[0]}"
+            )
+        sn_shape = self.model.spatial_noise_shape
+        if sn_shape is not None:
+            if spatial_noise is None:
+                raise ValueError(
+                    "this artifact takes spatial_noise of per-sample shape "
+                    f"{sn_shape}"
+                )
+            spatial_noise = np.asarray(spatial_noise, np.float32)
+            if spatial_noise.shape != (z.shape[0], *sn_shape):
+                raise ValueError(
+                    f"spatial_noise must be {(z.shape[0], *sn_shape)}, "
+                    f"got {spatial_noise.shape}"
+                )
+        elif spatial_noise is not None:
+            raise ValueError("this artifact takes no spatial noise")
+        item = _Pending(z, spatial_noise)
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("batcher is closed")
+            self._queue.append(item)
+            self.requests += 1
+            self.rows += z.shape[0]
+            self._lock.notify_all()
+        item.done.wait()
+        if item.error is not None:
+            raise item.error
+        assert item.result is not None
+        return item.result
+
+    def close(self) -> None:
+        with self._lock:
+            self._closed = True
+            self._lock.notify_all()
+        self._worker.join(timeout=10)
+
+    def stats(self) -> Dict[str, Any]:
+        with self._lock:
+            sizes = dict(sorted(self.batch_sizes.items()))
+            batches = sum(self.batch_sizes.values())
+            return {
+                "requests": self.requests,
+                "rows": self.rows,
+                "batches": batches,
+                "batch_sizes": {str(k): v for k, v in sizes.items()},
+                "mean_batch_rows": round(self.rows / batches, 3)
+                if batches
+                else 0.0,
+                "max_batch": self.max_batch,
+                "max_wait_ms": self.max_wait_s * 1e3,
+            }
+
+    # ------------------------------------------------------------- worker
+    def _take_batch(self) -> Optional[List[_Pending]]:
+        """Block for the first request, then gather until max_batch rows
+        or max_wait_ms after the first arrival. None = closed + drained."""
+        import time
+
+        with self._lock:
+            while not self._queue and not self._closed:
+                self._lock.wait()
+            if not self._queue:
+                return None
+            deadline = time.monotonic() + self.max_wait_s
+            while True:
+                rows = sum(p.z.shape[0] for p in self._queue)
+                if rows >= self.max_batch or self._closed:
+                    break
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                self._lock.wait(timeout=remaining)
+            # take a prefix whose rows fit max_batch (requests are never
+            # split across device calls)
+            batch, rows = [], 0
+            while self._queue:
+                nxt = self._queue[0].z.shape[0]
+                if batch and rows + nxt > self.max_batch:
+                    break
+                batch.append(self._queue.pop(0))
+                rows += nxt
+            return batch
+
+    def _run(self) -> None:
+        while True:
+            batch = self._take_batch()
+            if batch is None:
+                return
+            try:
+                out = self._render(batch)
+                splits = np.cumsum([p.z.shape[0] for p in batch])[:-1]
+                parts = {
+                    k: np.split(v, splits, axis=1 if k == "stages" else 0)
+                    for k, v in out.items()
+                }
+                for i, p in enumerate(batch):
+                    p.result = {k: parts[k][i] for k in parts}
+            except Exception as e:  # surface the failure to every waiter
+                for p in batch:
+                    p.error = e
+            finally:
+                for p in batch:
+                    p.done.set()
+
+    def _render(self, batch: List[_Pending]) -> Dict[str, np.ndarray]:
+        z = np.concatenate([p.z for p in batch], axis=0)
+        sn = (
+            np.concatenate([p.sn for p in batch], axis=0)
+            if batch[0].sn is not None
+            else None
+        )
+        n = z.shape[0]
+        with self._lock:
+            self.batch_sizes[n] += 1
+        if self._fixed and n < self._fixed:
+            pad = self._fixed - n
+            z = np.concatenate([z, np.zeros((pad, z.shape[1]), z.dtype)])
+            if sn is not None:
+                sn = np.concatenate(
+                    [sn, np.zeros((pad, *sn.shape[1:]), sn.dtype)]
+                )
+        out = self.model(z, sn) if sn is not None else self.model(z)
+        if self._fixed and n < self._fixed:
+            out = {
+                k: (v[:, :n] if k == "stages" else v[:n])
+                for k, v in out.items()
+            }
+        return out
+
+
+# ===================================================================== http
+
+
+def _png_b64(img: np.ndarray) -> str:
+    import base64
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+def _encode_images(images: np.ndarray, fmt: str):
+    if fmt == "array":
+        return images.tolist()
+    return [_png_b64(img) for img in images]
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # set by make_server(): batcher, model
+    batcher: DynamicBatcher
+    model: serve.ServingModel
+
+    def log_message(self, *args):  # quiet by default; /stats is the signal
+        pass
+
+    def _reply(self, code: int, payload: Dict[str, Any]) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self) -> None:
+        if self.path == "/healthz":
+            m = self.model.manifest
+            self._reply(
+                200,
+                {
+                    "ok": True,
+                    "code_size": m["code_size"],
+                    "image_size": m["image_size"],
+                    "outputs": m["outputs"],
+                    "batch": m.get("batch", 0),
+                    "spatial_noise_shape": m.get("spatial_noise_shape"),
+                    "step": m.get("step"),
+                },
+            )
+        elif self.path == "/stats":
+            self._reply(200, self.batcher.stats())
+        else:
+            self._reply(404, {"error": f"no route {self.path!r}"})
+
+    def do_POST(self) -> None:
+        if self.path != "/render":
+            self._reply(404, {"error": f"no route {self.path!r}"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            if length > MAX_BODY:
+                self._reply(413, {"error": "body too large"})
+                return
+            req = json.loads(self.rfile.read(length) or b"{}")
+            fmt = req.get("format", "png_b64")
+            if fmt not in ("png_b64", "array"):
+                raise ValueError(f"format must be png_b64|array, got {fmt!r}")
+            if ("z" in req) == ("count" in req):
+                raise ValueError("pass exactly one of 'z' or 'count'")
+            if "z" in req:
+                z = np.asarray(req["z"], np.float32)
+            else:
+                count = int(req["count"])
+                if not 1 <= count <= self.batcher.max_batch:
+                    raise ValueError(
+                        f"count must be in [1, {self.batcher.max_batch}]"
+                    )
+                rng = np.random.default_rng(req.get("seed"))
+                z = rng.standard_normal(
+                    (count, self.model.code_size)
+                ).astype(np.float32)
+                if (
+                    self.model.spatial_noise_shape is not None
+                    and "spatial_noise" not in req
+                ):
+                    req["spatial_noise"] = rng.standard_normal(
+                        (count, *self.model.spatial_noise_shape)
+                    ).astype(np.float32)
+            sn = (
+                np.asarray(req["spatial_noise"], np.float32)
+                if req.get("spatial_noise") is not None
+                else None
+            )
+            out = self.batcher.submit(z, sn)
+        except (ValueError, KeyError, TypeError, json.JSONDecodeError) as e:
+            self._reply(400, {"error": str(e)})
+            return
+        except Exception as e:  # device-side failure
+            self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+            return
+        payload: Dict[str, Any] = {
+            "images": _encode_images(out["images"], fmt)
+        }
+        if "scores" in out:
+            payload["scores"] = [round(float(s), 6) for s in out["scores"]]
+        if "stages" in out:
+            payload["stages"] = [
+                _encode_images(stage, fmt) for stage in out["stages"]
+            ]
+        self._reply(200, payload)
+
+
+def make_server(
+    artifact: str,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    max_batch: int = 64,
+    max_wait_ms: float = 5.0,
+    model: Optional[serve.ServingModel] = None,
+) -> Tuple[ThreadingHTTPServer, DynamicBatcher]:
+    """Build (but don't start) the server; port 0 picks a free port.
+
+    Call `server.serve_forever()` (blocking) or run it in a thread;
+    shut down with `server.shutdown()` then `batcher.close()`.
+    """
+    model = model if model is not None else serve.load(artifact)
+    batcher = DynamicBatcher(model, max_batch=max_batch, max_wait_ms=max_wait_ms)
+    handler = type(
+        "BoundHandler", (_Handler,), {"batcher": batcher, "model": model}
+    )
+    server = ThreadingHTTPServer((host, port), handler)
+    server.daemon_threads = True
+    return server, batcher
+
+
+def main(argv: Optional[list] = None) -> None:
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--artifact", required=True, help="export_model output dir")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument(
+        "--max_batch", type=int, default=64,
+        help="largest coalesced device batch (rows)",
+    )
+    p.add_argument(
+        "--max_wait_ms", type=float, default=5.0,
+        help="how long to hold a batch open after its first request — "
+        "the latency the first requester donates to throughput",
+    )
+    a = p.parse_args(argv)
+    server, batcher = make_server(
+        a.artifact, a.host, a.port, a.max_batch, a.max_wait_ms
+    )
+    host, port = server.server_address[:2]
+    print(
+        f"[gea.serve_http] serving {a.artifact} on http://{host}:{port} "
+        f"(max_batch={batcher.max_batch}, max_wait_ms={a.max_wait_ms})",
+        flush=True,
+    )
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        batcher.close()
+
+
+if __name__ == "__main__":
+    main()

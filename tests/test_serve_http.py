@@ -1,0 +1,222 @@
+"""HTTP serving layer (gea.serve_http): dynamic batching coalesces
+concurrent requests into single device calls and splits the outputs back
+per request — the production pattern for a remote TPU whose per-call
+round trip dominates (docs/RESULTS.md "Serving throughput")."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from gea.serve_http import DynamicBatcher, make_server
+
+
+class StubModel:
+    """ServingModel lookalike: images[:, 0, 0, 0] encodes round(z[:, 0])
+    so per-request slices can be verified after coalescing."""
+
+    def __init__(self, code_size=8, batch=0, calls=None):
+        self.manifest = {
+            "batch": batch,
+            "code_size": code_size,
+            "image_size": 4,
+            "outputs": ["images", "scores"],
+            "step": 0,
+        }
+        self.calls = calls if calls is not None else []
+
+    @property
+    def code_size(self):
+        return self.manifest["code_size"]
+
+    @property
+    def spatial_noise_shape(self):
+        return None
+
+    def __call__(self, z, spatial_noise=None):
+        self.calls.append(z.shape[0])
+        n = z.shape[0]
+        images = np.zeros((n, 4, 4, 3), np.uint8)
+        images[:, 0, 0, 0] = np.clip(np.round(z[:, 0]), 0, 255)
+        stages = np.stack([images, images + 1])
+        return {
+            "images": images,
+            "stages": stages,
+            "scores": np.full((n,), 0.5, np.float32),
+        }
+
+
+def test_batcher_coalesces_and_splits_correctly():
+    model = StubModel()
+    b = DynamicBatcher(model, max_batch=64, max_wait_ms=250.0)
+    results = {}
+
+    def worker(i):
+        z = np.full((2, 8), float(i), np.float32)
+        results[i] = b.submit(z)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    b.close()
+
+    # every request got ITS rows back, whatever the coalescing was
+    for i in range(6):
+        out = results[i]
+        assert out["images"].shape == (2, 4, 4, 3)
+        assert out["scores"].shape == (2,)
+        assert out["stages"].shape == (2, 2, 4, 4, 3)  # split on axis 1
+        assert np.all(out["images"][:, 0, 0, 0] == i)
+        assert np.all(out["stages"][0, :, 0, 0, 0] == i)
+    # 12 rows total; the 250ms window must have coalesced SOMETHING
+    assert sum(model.calls) == 12
+    assert len(model.calls) < 6
+    stats = b.stats()
+    assert stats["requests"] == 6
+    assert stats["rows"] == 12
+    assert stats["batches"] == len(model.calls)
+
+
+def test_batcher_pads_pinned_batch_and_trims():
+    model = StubModel(batch=8)
+    b = DynamicBatcher(model, max_batch=64, max_wait_ms=1.0)
+    out = b.submit(np.full((3, 8), 7.0, np.float32))
+    b.close()
+    assert model.calls == [8]  # padded up to the pinned batch
+    assert out["images"].shape == (3, 4, 4, 3)  # trimmed back
+    assert out["stages"].shape == (2, 3, 4, 4, 3)
+    assert np.all(out["images"][:, 0, 0, 0] == 7)
+
+
+def test_batcher_validates_and_propagates_errors():
+    model = StubModel()
+    b = DynamicBatcher(model, max_batch=4, max_wait_ms=1.0)
+    with pytest.raises(ValueError):
+        b.submit(np.zeros((1, 5), np.float32))  # wrong code_size
+    with pytest.raises(ValueError):
+        b.submit(np.zeros((5, 8), np.float32))  # rows > max_batch
+    with pytest.raises(ValueError):
+        b.submit(np.zeros((1, 8), np.float32), np.zeros((1, 2, 2, 1)))
+
+    b.close()
+
+    class BadModel(StubModel):
+        def __call__(self, z, spatial_noise=None):
+            raise RuntimeError("device exploded")
+
+    b2 = DynamicBatcher(BadModel(), max_batch=4, max_wait_ms=1.0)
+    with pytest.raises(RuntimeError, match="device exploded"):
+        b2.submit(np.zeros((1, 8), np.float32))
+    b2.close()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _get(url):
+    with urllib.request.urlopen(url) as r:
+        return r.status, json.loads(r.read())
+
+
+@pytest.fixture()
+def http_server():
+    model = StubModel()
+    server, batcher = make_server(
+        artifact="", model=model, max_batch=16, max_wait_ms=50.0
+    )
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    host, port = server.server_address[:2]
+    yield f"http://{host}:{port}", model
+    server.shutdown()
+    batcher.close()
+    thread.join(timeout=10)
+
+
+def test_http_render_healthz_stats_and_errors(http_server):
+    base, model = http_server
+
+    status, health = _get(base + "/healthz")
+    assert status == 200 and health["ok"] and health["code_size"] == 8
+
+    # explicit z, array format: identity encoding must round-trip
+    z = np.full((3, 8), 9.0, np.float32)
+    status, out = _post(
+        base + "/render", {"z": z.tolist(), "format": "array"}
+    )
+    assert status == 200
+    images = np.asarray(out["images"], np.uint8)
+    assert images.shape == (3, 4, 4, 3)
+    assert np.all(images[:, 0, 0, 0] == 9)
+    assert out["scores"] == [0.5, 0.5, 0.5]
+    assert len(out["stages"]) == 2  # per-stage view, outer list = stage
+
+    # server-drawn codes: png_b64 default decodes to valid PNGs
+    status, out = _post(base + "/render", {"count": 2, "seed": 0})
+    assert status == 200 and len(out["images"]) == 2
+    import base64
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(base64.b64decode(out["images"][0])))
+    assert img.size == (4, 4)
+
+    # deterministic: same seed, same images
+    status2, out2 = _post(base + "/render", {"count": 2, "seed": 0})
+    assert out2["images"] == out["images"]
+
+    # error paths -> 400 with a message, server stays up
+    for bad in (
+        {"z": [[1.0] * 5]},                       # wrong code_size
+        {"z": [[1.0] * 8], "count": 1},           # both z and count
+        {},                                        # neither
+        {"count": 0},                              # out of range
+        {"z": [[1.0] * 8], "format": "jpeg"},      # bad format
+    ):
+        status, err = _post(base + "/render", bad)
+        assert status == 400 and "error" in err
+
+    status, _ = _get(base + "/healthz")
+    assert status == 200
+
+    status, stats = _get(base + "/stats")
+    assert status == 200
+    assert stats["requests"] >= 3
+    assert stats["batches"] >= 1
+
+
+def test_http_concurrent_requests_coalesce(http_server):
+    base, model = http_server
+    model.calls.clear()
+    results = [None] * 8
+
+    def worker(i):
+        results[i] = _post(
+            base + "/render",
+            {"z": np.full((1, 8), float(i)).tolist(), "format": "array"},
+        )
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i, (status, out) in enumerate(results):
+        assert status == 200
+        assert np.asarray(out["images"])[0, 0, 0, 0] == i
+    assert sum(model.calls) == 8
+    assert len(model.calls) < 8  # at least one coalesced device call
