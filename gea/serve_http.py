@@ -66,12 +66,23 @@ class DynamicBatcher:
     queued or `max_wait_ms` has passed since the first arrival, renders
     the concatenation as one call, and slices the outputs back out.
 
-    Pinned-batch artifacts (manifest["batch"] > 0) are padded with zero
-    rows up to the pinned size and trimmed after — the gather never
-    exceeds the pinned size.
+    Device batches are padded with zero rows up to a small set of bucket
+    sizes (powers of two up to max_batch; or the pinned size for
+    manifest["batch"] > 0 artifacts) and trimmed after. Without
+    bucketing, every distinct coalesced row count is a new concrete
+    shape — XLA compiles each one, and a load spike becomes a compile
+    storm (measured: 5 distinct sizes cost multi-second p50 on the CPU
+    smoke artifact). With pow2 buckets at most log2(max_batch)+1
+    programs ever exist, all warmable at startup.
     """
 
-    def __init__(self, model, max_batch: int = 64, max_wait_ms: float = 5.0):
+    def __init__(
+        self,
+        model,
+        max_batch: int = 64,
+        max_wait_ms: float = 5.0,
+        bucket: bool = True,
+    ):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         fixed = int(model.manifest.get("batch", 0))
@@ -81,6 +92,13 @@ class DynamicBatcher:
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
         self._fixed = fixed
+        self._buckets: Optional[List[int]] = None
+        if fixed:
+            self._buckets = [fixed]
+        elif bucket:
+            self._buckets = [1]
+            while self._buckets[-1] < max_batch:
+                self._buckets.append(min(self._buckets[-1] * 2, max_batch))
         self._lock = threading.Condition()
         self._queue: List[_Pending] = []
         self._closed = False
@@ -142,6 +160,12 @@ class DynamicBatcher:
             self._lock.notify_all()
         self._worker.join(timeout=10)
 
+    def reset_stats(self) -> None:
+        with self._lock:
+            self.requests = 0
+            self.rows = 0
+            self.batch_sizes = Counter()
+
     def stats(self) -> Dict[str, Any]:
         with self._lock:
             sizes = dict(sorted(self.batch_sizes.items()))
@@ -156,6 +180,7 @@ class DynamicBatcher:
                 else 0.0,
                 "max_batch": self.max_batch,
                 "max_wait_ms": self.max_wait_s * 1e3,
+                "buckets": self._buckets,
             }
 
     # ------------------------------------------------------------- worker
@@ -210,6 +235,14 @@ class DynamicBatcher:
                 for p in batch:
                     p.done.set()
 
+    def _bucket_for(self, rows: int) -> int:
+        if self._buckets is None:
+            return rows
+        for b in self._buckets:
+            if b >= rows:
+                return b
+        return self._buckets[-1]
+
     def _render(self, batch: List[_Pending]) -> Dict[str, np.ndarray]:
         z = np.concatenate([p.z for p in batch], axis=0)
         sn = (
@@ -218,17 +251,18 @@ class DynamicBatcher:
             else None
         )
         n = z.shape[0]
+        target = self._bucket_for(n)
         with self._lock:
-            self.batch_sizes[n] += 1
-        if self._fixed and n < self._fixed:
-            pad = self._fixed - n
+            self.batch_sizes[target] += 1
+        if n < target:
+            pad = target - n
             z = np.concatenate([z, np.zeros((pad, z.shape[1]), z.dtype)])
             if sn is not None:
                 sn = np.concatenate(
                     [sn, np.zeros((pad, *sn.shape[1:]), sn.dtype)]
                 )
         out = self.model(z, sn) if sn is not None else self.model(z)
-        if self._fixed and n < self._fixed:
+        if n < target:
             out = {
                 k: (v[:, :n] if k == "stages" else v[:n])
                 for k, v in out.items()
@@ -357,6 +391,7 @@ def make_server(
     max_batch: int = 64,
     max_wait_ms: float = 5.0,
     model: Optional[serve.ServingModel] = None,
+    bucket: bool = True,
 ) -> Tuple[ThreadingHTTPServer, DynamicBatcher]:
     """Build (but don't start) the server; port 0 picks a free port.
 
@@ -364,7 +399,9 @@ def make_server(
     shut down with `server.shutdown()` then `batcher.close()`.
     """
     model = model if model is not None else serve.load(artifact)
-    batcher = DynamicBatcher(model, max_batch=max_batch, max_wait_ms=max_wait_ms)
+    batcher = DynamicBatcher(
+        model, max_batch=max_batch, max_wait_ms=max_wait_ms, bucket=bucket
+    )
     handler = type(
         "BoundHandler", (_Handler,), {"batcher": batcher, "model": model}
     )
@@ -389,10 +426,41 @@ def main(argv: Optional[list] = None) -> None:
         help="how long to hold a batch open after its first request — "
         "the latency the first requester donates to throughput",
     )
+    p.add_argument(
+        "--bucket", type=int, default=1,
+        help="pad device batches to power-of-two sizes so at most "
+        "log2(max_batch)+1 XLA programs are ever compiled (0 = compile "
+        "per exact coalesced size — only sane on a pre-warmed cache)",
+    )
+    p.add_argument(
+        "--warmup", type=int, default=1,
+        help="compile every batch bucket before accepting traffic "
+        "(0 = compile lazily on first use)",
+    )
     a = p.parse_args(argv)
     server, batcher = make_server(
-        a.artifact, a.host, a.port, a.max_batch, a.max_wait_ms
+        a.artifact, a.host, a.port, a.max_batch, a.max_wait_ms,
+        bucket=bool(a.bucket),
     )
+    if a.warmup:
+        buckets = batcher.stats()["buckets"] or [batcher.max_batch]
+        print(
+            f"[gea.serve_http] warming {len(buckets)} batch buckets "
+            f"{buckets} ...", flush=True,
+        )
+        rng = np.random.default_rng(0)
+        for b in buckets:
+            z = rng.standard_normal(
+                (b, batcher.model.code_size)
+            ).astype(np.float32)
+            sn_shape = batcher.model.spatial_noise_shape
+            sn = (
+                rng.standard_normal((b, *sn_shape)).astype(np.float32)
+                if sn_shape is not None
+                else None
+            )
+            batcher.submit(z, sn)
+        batcher.reset_stats()
     host, port = server.server_address[:2]
     print(
         f"[gea.serve_http] serving {a.artifact} on http://{host}:{port} "

@@ -72,13 +72,32 @@ def test_batcher_coalesces_and_splits_correctly():
         assert out["stages"].shape == (2, 2, 4, 4, 3)  # split on axis 1
         assert np.all(out["images"][:, 0, 0, 0] == i)
         assert np.all(out["stages"][0, :, 0, 0, 0] == i)
-    # 12 rows total; the 250ms window must have coalesced SOMETHING
-    assert sum(model.calls) == 12
+    # 12 rows total; the 250ms window must have coalesced SOMETHING.
+    # Device calls are padded to pow2 buckets, so sums can exceed 12.
+    assert sum(model.calls) >= 12
     assert len(model.calls) < 6
+    assert all(n in (1, 2, 4, 8, 16, 32, 64) for n in model.calls)
     stats = b.stats()
     assert stats["requests"] == 6
     assert stats["rows"] == 12
     assert stats["batches"] == len(model.calls)
+
+
+def test_batcher_buckets_pad_to_pow2_and_trim():
+    model = StubModel()
+    b = DynamicBatcher(model, max_batch=64, max_wait_ms=1.0)
+    out = b.submit(np.full((3, 8), 5.0, np.float32))
+    b.close()
+    assert model.calls == [4]  # 3 rows padded to the 4-bucket
+    assert out["images"].shape == (3, 4, 4, 3)
+    assert np.all(out["images"][:, 0, 0, 0] == 5)
+
+    model2 = StubModel()
+    b2 = DynamicBatcher(model2, max_batch=64, max_wait_ms=1.0, bucket=False)
+    out2 = b2.submit(np.full((3, 8), 5.0, np.float32))
+    b2.close()
+    assert model2.calls == [3]  # exact-shape mode
+    assert out2["images"].shape == (3, 4, 4, 3)
 
 
 def test_batcher_pads_pinned_batch_and_trims():
