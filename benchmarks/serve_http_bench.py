@@ -68,25 +68,32 @@ def main(argv=None):
     else:
         url = a.url.rstrip("/")
 
-    rng = np.random.default_rng(0)
     with urllib.request.urlopen(url + "/healthz") as r:
         health = json.loads(r.read())
     code_size = int(health["code_size"])
 
     # warmup: compile every bucket the run could realize, so measured
     # latencies are serving latencies, not first-compile latencies
-    with urllib.request.urlopen(url + "/stats") as r:
-        buckets = json.loads(r.read()).get("buckets") or []
-    need = min(a.concurrency * a.rows, a.max_batch)
-    warm = [b for b in buckets if b <= 2 * need] or [a.rows]
-    for b in warm:
-        post_render(url, {"count": min(b, need), "seed": 0, "format": a.format})
+    if batcher is not None:
+        batcher.warmup()  # resets server stats, so the reported histogram
+        # holds only measured-load batches
+    else:
+        with urllib.request.urlopen(url + "/stats") as r:
+            buckets = json.loads(r.read()).get("buckets") or []
+        need = min(a.concurrency * a.rows, a.max_batch)
+        warm = [b for b in buckets if b <= 2 * need] or [a.rows]
+        for b in warm:
+            post_render(
+                url, {"count": min(b, need), "seed": 0, "format": a.format}
+            )
 
     latencies: list = []
     errors: list = []
     lock = threading.Lock()
 
     def client(i: int):
+        # per-thread generator: np Generators are not thread-safe
+        rng = np.random.default_rng(i)
         z = rng.standard_normal((a.rows, code_size)).astype(np.float32)
         for _ in range(a.requests):
             t0 = time.perf_counter()

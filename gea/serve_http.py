@@ -47,14 +47,17 @@ MAX_BODY = 64 * 1024 * 1024
 class _Pending:
     """One submitted request: rows [start, stop) of the next device batch."""
 
-    __slots__ = ("z", "sn", "done", "result", "error")
+    __slots__ = ("z", "sn", "done", "result", "error", "arrived")
 
     def __init__(self, z: np.ndarray, sn: Optional[np.ndarray]):
+        import time
+
         self.z = z
         self.sn = sn
         self.done = threading.Event()
         self.result: Optional[Dict[str, np.ndarray]] = None
         self.error: Optional[Exception] = None
+        self.arrived = time.monotonic()
 
 
 class DynamicBatcher:
@@ -160,6 +163,30 @@ class DynamicBatcher:
             self._lock.notify_all()
         self._worker.join(timeout=10)
 
+    def warmup(self, reset_stats: bool = True) -> List[int]:
+        """Compile every batch bucket up front (one render per bucket) so
+        the first request under load pays serving latency, not
+        first-compile latency. Submitted rows are clamped to max_batch —
+        pinned-batch artifacts with batch > max_batch realize their one
+        bucket through padding. Returns the bucket list warmed."""
+        buckets = self._buckets or [self.max_batch]
+        rng = np.random.default_rng(0)
+        sn_shape = self.model.spatial_noise_shape
+        for b in buckets:
+            rows = min(b, self.max_batch)
+            z = rng.standard_normal(
+                (rows, self.model.code_size)
+            ).astype(np.float32)
+            sn = (
+                rng.standard_normal((rows, *sn_shape)).astype(np.float32)
+                if sn_shape is not None
+                else None
+            )
+            self.submit(z, sn)
+        if reset_stats:
+            self.reset_stats()
+        return list(buckets)
+
     def reset_stats(self) -> None:
         with self._lock:
             self.requests = 0
@@ -194,7 +221,10 @@ class DynamicBatcher:
                 self._lock.wait()
             if not self._queue:
                 return None
-            deadline = time.monotonic() + self.max_wait_s
+            # Anchor the hold window at the FIRST request's arrival, not
+            # at worker wake-up: requests that queued while the previous
+            # batch was rendering have already paid their wait.
+            deadline = self._queue[0].arrived + self.max_wait_s
             while True:
                 rows = sum(p.z.shape[0] for p in self._queue)
                 if rows >= self.max_batch or self._closed:
@@ -332,7 +362,20 @@ class _Handler(BaseHTTPRequestHandler):
             return
         try:
             length = int(self.headers.get("Content-Length", 0))
+            if length < 0:
+                self._reply(400, {"error": "invalid Content-Length"})
+                return
             if length > MAX_BODY:
+                # Drain (bounded) so the error response is deliverable —
+                # closing mid-upload surfaces as ECONNRESET client-side,
+                # not as this JSON error.
+                remaining = min(length, 8 * MAX_BODY)
+                while remaining > 0:
+                    chunk = self.rfile.read(min(1 << 20, remaining))
+                    if not chunk:
+                        break
+                    remaining -= len(chunk)
+                self.close_connection = True
                 self._reply(413, {"error": "body too large"})
                 return
             req = json.loads(self.rfile.read(length) or b"{}")
@@ -448,19 +491,7 @@ def main(argv: Optional[list] = None) -> None:
             f"[gea.serve_http] warming {len(buckets)} batch buckets "
             f"{buckets} ...", flush=True,
         )
-        rng = np.random.default_rng(0)
-        for b in buckets:
-            z = rng.standard_normal(
-                (b, batcher.model.code_size)
-            ).astype(np.float32)
-            sn_shape = batcher.model.spatial_noise_shape
-            sn = (
-                rng.standard_normal((b, *sn_shape)).astype(np.float32)
-                if sn_shape is not None
-                else None
-            )
-            batcher.submit(z, sn)
-        batcher.reset_stats()
+        batcher.warmup()
     host, port = server.server_address[:2]
     print(
         f"[gea.serve_http] serving {a.artifact} on http://{host}:{port} "

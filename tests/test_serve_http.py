@@ -111,6 +111,27 @@ def test_batcher_pads_pinned_batch_and_trims():
     assert np.all(out["images"][:, 0, 0, 0] == 7)
 
 
+def test_warmup_compiles_buckets_and_clamps_pinned_batch():
+    # symbolic-batch model: one render per pow2 bucket, stats reset after
+    model = StubModel()
+    b = DynamicBatcher(model, max_batch=8, max_wait_ms=1.0)
+    warmed = b.warmup()
+    b.close()
+    assert warmed == [1, 2, 4, 8]
+    assert model.calls == [1, 2, 4, 8]
+    assert b.stats()["requests"] == 0  # reset
+
+    # pinned batch LARGER than max_batch: warmup must clamp its submit to
+    # max_batch rows (regression: it used to submit the full pinned size
+    # and die on its own row validation); padding realizes the bucket
+    model2 = StubModel(batch=128)
+    b2 = DynamicBatcher(model2, max_batch=16, max_wait_ms=1.0)
+    warmed2 = b2.warmup()
+    b2.close()
+    assert warmed2 == [128]
+    assert model2.calls == [128]  # 16 submitted rows padded to the pin
+
+
 def test_batcher_validates_and_propagates_errors():
     model = StubModel()
     b = DynamicBatcher(model, max_batch=4, max_wait_ms=1.0)
@@ -209,6 +230,18 @@ def test_http_render_healthz_stats_and_errors(http_server):
         status, err = _post(base + "/render", bad)
         assert status == 400 and "error" in err
 
+    # negative Content-Length must be a 400, not a blocking rfile.read(-1)
+    import http.client
+
+    host, port = base.replace("http://", "").split(":")
+    conn = http.client.HTTPConnection(host, int(port), timeout=10)
+    conn.putrequest("POST", "/render")
+    conn.putheader("Content-Length", "-1")
+    conn.endheaders()
+    resp = conn.getresponse()
+    assert resp.status == 400
+    conn.close()
+
     status, _ = _get(base + "/healthz")
     assert status == 200
 
@@ -237,5 +270,5 @@ def test_http_concurrent_requests_coalesce(http_server):
     for i, (status, out) in enumerate(results):
         assert status == 200
         assert np.asarray(out["images"])[0, 0, 0, 0] == i
-    assert sum(model.calls) == 8
+    assert sum(model.calls) >= 8  # padded pow2 buckets can exceed the rows
     assert len(model.calls) < 8  # at least one coalesced device call
