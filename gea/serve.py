@@ -159,6 +159,15 @@ class ServingModel:
             out = q.popleft()
             yield {k: np.asarray(v) for k, v in out.items()}
 
+    def sharded(self, devices=None) -> "DataParallelServingModel":
+        """Data-parallel serving: the same artifact executed across a
+        1-axis device mesh with the batch sharded — rendering is
+        embarrassingly parallel over samples, so one exported program
+        serves N chips with no re-export (the per-device program IS the
+        artifact; `shard_map` runs it on each batch shard and XLA needs
+        no collectives). Defaults to all local devices."""
+        return DataParallelServingModel(self, devices)
+
     def sample(
         self, count: int, seed: int = 0, batch_size: int = 64
     ) -> Dict[str, np.ndarray]:
@@ -194,6 +203,81 @@ class ServingModel:
             out[k] = np.concatenate([c[k] for c in chunks], axis=axis)
             out[k] = out[k][tuple(slice(None) for _ in range(axis)) + (slice(0, count),)]
         return out
+
+
+class DataParallelServingModel(ServingModel):
+    """A ServingModel whose renders are sharded over a device mesh.
+
+    Batches are zero-padded up to a multiple of the device count (the
+    shard_map batch split must be even) and trimmed after, so any batch
+    size works; `__call__`, `stream`, and `sample` all route through the
+    sharded program. Pinned-batch artifacts require the pinned size to be
+    divisible by the device count. Verified bit-identical to the
+    single-device path in tests/test_export.py."""
+
+    def __init__(self, base: ServingModel, devices=None):
+        super().__init__(base.exported, base.manifest)
+        import jax
+
+        self.devices = list(devices) if devices else list(jax.devices())
+        if not self.devices:
+            raise ValueError("no devices for data-parallel serving")
+        fixed = int(self.manifest.get("batch", 0))
+        if fixed and fixed % len(self.devices) != 0:
+            raise ValueError(
+                f"pinned batch {fixed} is not divisible by "
+                f"{len(self.devices)} devices"
+            )
+
+    def _jitted(self):
+        if self._call is None:
+            import jax
+            import numpy as _np
+            from jax.sharding import Mesh, PartitionSpec as P
+
+            shard_map = getattr(jax, "shard_map", None)
+            if shard_map is None:  # pre-0.8 fallback
+                from jax.experimental.shard_map import shard_map
+
+            mesh = Mesh(_np.array(self.devices), ("data",))
+            outputs = self.manifest.get("outputs") or ["images"]
+            out_specs = {
+                k: P(None, "data") if k == "stages" else P("data")
+                for k in outputs
+            }
+            takes_sn = self.spatial_noise_shape is not None
+            in_specs = (P("data"), P("data")) if takes_sn else (P("data"),)
+            call = self.exported.call
+            fn = jax.jit(
+                shard_map(
+                    (lambda z, sn: call(z, sn)) if takes_sn else call,
+                    mesh=mesh,
+                    in_specs=in_specs,
+                    out_specs=out_specs,
+                )
+            )
+            n_dev = len(self.devices)
+
+            def padded(*args):
+                b = args[0].shape[0]
+                pad = (-b) % n_dev
+                if pad:
+                    args = tuple(
+                        np.concatenate(
+                            [a, np.zeros((pad, *a.shape[1:]), a.dtype)]
+                        )
+                        for a in args
+                    )
+                out = fn(*args)
+                if pad:
+                    out = {
+                        k: (v[:, :b] if k == "stages" else v[:b])
+                        for k, v in out.items()
+                    }
+                return out
+
+            self._call = padded
+        return self._call
 
 
 def _main(argv=None) -> None:

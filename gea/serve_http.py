@@ -435,6 +435,7 @@ def make_server(
     max_wait_ms: float = 5.0,
     model: Optional[serve.ServingModel] = None,
     bucket: bool = True,
+    data_parallel: bool = False,
 ) -> Tuple[ThreadingHTTPServer, DynamicBatcher]:
     """Build (but don't start) the server; port 0 picks a free port.
 
@@ -442,6 +443,8 @@ def make_server(
     shut down with `server.shutdown()` then `batcher.close()`.
     """
     model = model if model is not None else serve.load(artifact)
+    if data_parallel:
+        model = model.sharded()
     batcher = DynamicBatcher(
         model, max_batch=max_batch, max_wait_ms=max_wait_ms, bucket=bucket
     )
@@ -480,10 +483,16 @@ def main(argv: Optional[list] = None) -> None:
         help="compile every batch bucket before accepting traffic "
         "(0 = compile lazily on first use)",
     )
+    p.add_argument(
+        "--data_parallel", type=int, default=0,
+        help="shard every device batch across ALL local devices "
+        "(ServingModel.sharded): one artifact, N chips, batch split N "
+        "ways — no collectives needed, rendering is sample-parallel",
+    )
     a = p.parse_args(argv)
     server, batcher = make_server(
         a.artifact, a.host, a.port, a.max_batch, a.max_wait_ms,
-        bucket=bool(a.bucket),
+        bucket=bool(a.bucket), data_parallel=bool(a.data_parallel),
     )
     if a.warmup:
         buckets = batcher.stats()["buckets"] or [batcher.max_batch]

@@ -318,3 +318,44 @@ def test_export_r_iterative_chain(tmp_path):
         export_model.main(
             ["--ri_path", ri_dir, "--load_path", ri_dir, "--out", out]
         )
+
+
+@pytest.mark.slow
+def test_sharded_serving_matches_single_device(glis_run, tmp_path):
+    """ServingModel.sharded(): the SAME single-device artifact executed
+    across the 8-virtual-device mesh with the batch sharded must be
+    bit-identical to the single-device path, including the zero-pad/trim
+    route for batches not divisible by the device count."""
+    import jax
+
+    from gea import serve
+    from gea.cli import export_model
+
+    out = str(tmp_path / "art")
+    export_model.main(
+        ["--load_path", glis_run, "--out", out, "--with_scores", "1",
+         "--all_stages", "1", "--platforms", "cpu"]
+    )
+    model = serve.load(out)
+    sharded = model.sharded()
+    assert len(sharded.devices) == len(jax.devices())
+
+    rng = np.random.default_rng(11)
+    for n in (16, 5):  # divisible and pad-needing batch sizes
+        z = rng.standard_normal((n, 16)).astype(np.float32)
+        want = model(z)
+        got = sharded(z)
+        assert got["images"].shape == (n, 16, 16, 3)
+        assert np.array_equal(got["images"], want["images"])
+        assert np.array_equal(got["stages"], want["stages"])
+        assert np.allclose(got["scores"], want["scores"], atol=1e-5)
+
+    # sample() routes through the sharded program too
+    s = sharded.sample(6, seed=1, batch_size=4)
+    assert s["images"].shape == (6, 16, 16, 3)
+
+    # pinned-batch divisibility guard
+    model.manifest["batch"] = len(jax.devices()) + 1
+    with pytest.raises(ValueError, match="divisible"):
+        model.sharded()
+    model.manifest["batch"] = 0
