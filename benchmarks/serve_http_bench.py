@@ -49,7 +49,10 @@ def main(argv=None):
     p.add_argument("--rows", type=int, default=4, help="codes per request")
     p.add_argument("--max_batch", type=int, default=256)
     p.add_argument("--max_wait_ms", type=float, default=5.0)
-    p.add_argument("--format", default="png_b64", choices=("png_b64", "array"))
+    p.add_argument(
+        "--format", default="png_b64",
+        choices=("png_b64", "raw_b64", "array"),
+    )
     a = p.parse_args(argv)
     if bool(a.artifact) == bool(a.url):
         raise SystemExit("pass exactly one of --artifact or --url")

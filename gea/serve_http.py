@@ -317,6 +317,14 @@ def _png_b64(img: np.ndarray) -> str:
 def _encode_images(images: np.ndarray, fmt: str):
     if fmt == "array":
         return images.tolist()
+    if fmt == "raw_b64":
+        # base64 of the raw uint8 HxWx3 buffer — ~free to encode vs PNG
+        # (which costs ms/image of host CPU: on a 1-core serving host the
+        # encoder, not the chip, caps png_b64 throughput); the response
+        # carries "shape" so clients can reconstruct.
+        import base64
+
+        return [base64.b64encode(img.tobytes()).decode("ascii") for img in images]
     return [_png_b64(img) for img in images]
 
 
@@ -380,8 +388,10 @@ class _Handler(BaseHTTPRequestHandler):
                 return
             req = json.loads(self.rfile.read(length) or b"{}")
             fmt = req.get("format", "png_b64")
-            if fmt not in ("png_b64", "array"):
-                raise ValueError(f"format must be png_b64|array, got {fmt!r}")
+            if fmt not in ("png_b64", "raw_b64", "array"):
+                raise ValueError(
+                    f"format must be png_b64|raw_b64|array, got {fmt!r}"
+                )
             if ("z" in req) == ("count" in req):
                 raise ValueError("pass exactly one of 'z' or 'count'")
             if "z" in req:
@@ -418,6 +428,8 @@ class _Handler(BaseHTTPRequestHandler):
         payload: Dict[str, Any] = {
             "images": _encode_images(out["images"], fmt)
         }
+        if fmt == "raw_b64":
+            payload["shape"] = list(out["images"].shape[1:]) + ["uint8"]
         if "scores" in out:
             payload["scores"] = [round(float(s), 6) for s in out["scores"]]
         if "stages" in out:

@@ -204,6 +204,18 @@ def test_http_render_healthz_stats_and_errors(http_server):
     assert out["scores"] == [0.5, 0.5, 0.5]
     assert len(out["stages"]) == 2  # per-stage view, outer list = stage
 
+    # raw_b64: base64 of the raw uint8 buffer + shape for reconstruction
+    status, out = _post(
+        base + "/render", {"z": z.tolist(), "format": "raw_b64"}
+    )
+    assert status == 200 and out["shape"] == [4, 4, 3, "uint8"]
+    import base64 as _b64
+
+    raw = np.frombuffer(
+        _b64.b64decode(out["images"][0]), np.uint8
+    ).reshape(4, 4, 3)
+    assert raw[0, 0, 0] == 9
+
     # server-drawn codes: png_b64 default decodes to valid PNGs
     status, out = _post(base + "/render", {"count": 2, "seed": 0})
     assert status == 200 and len(out["images"]) == 2
