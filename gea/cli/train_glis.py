@@ -172,7 +172,7 @@ def run(cfg: TrainGLISConfig):
     fused = fuse_input_pipeline(cfg, step, axis_name=axis)
     state, step_fn = build_step_fn(cfg, mesh, state, fused)
 
-    data_iter = input_iterator(cfg, mesh, cfg.seed)
+    data_iter = input_iterator(cfg, mesh, cfg.seed, start_step=start_step)
     vis = make_vis_fn(cfg, generator, run_dir)
     # Only the lead process evaluates FID (TrainLoop gates the calls on
     # is_lead); skip the real-stats precompute on followers entirely.

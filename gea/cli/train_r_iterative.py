@@ -174,7 +174,7 @@ def run(cfg: TrainRIterativeConfig):
     fused = fuse_input_pipeline(cfg, step, axis_name=axis)
     state, step_fn = build_step_fn(cfg, mesh, state, fused)
 
-    data_iter = input_iterator(cfg, mesh, cfg.seed)
+    data_iter = input_iterator(cfg, mesh, cfg.seed, start_step=start_step)
     vis = make_vis_fn(cfg, generator, reverter, run_dir)
     is_lead = not cfg.multihost or jax.process_index() == 0
     fid_fn = (

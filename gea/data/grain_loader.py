@@ -52,6 +52,12 @@ class GrainFolderLoader:
     def __len__(self) -> int:
         return len(self._paths)
 
-    def batches(self) -> Iterator[np.ndarray]:
-        for batch in self._iter_dataset:
+    def batches(self, start_batch: int = 0) -> Iterator[np.ndarray]:
+        it = iter(self._iter_dataset)
+        if start_batch:
+            # Grain iterators are index-addressed: the restart is O(1),
+            # matching the counter-based contract of the other backends
+            # (pipeline.py module docstring).
+            it.set_state({"next_index": int(start_batch)})
+        for batch in it:
             yield np.asarray(batch)

@@ -185,7 +185,7 @@ struct Loader {
   std::vector<std::thread> workers;
 
   Loader(std::vector<std::string> p, int b, int c, int s, int nworkers,
-         uint64_t seed)
+         uint64_t seed, int64_t start_batch)
       : paths(std::move(p)), batch(b), crop_size(c), out_size(s),
         image_bytes(static_cast<size_t>(s) * s * 3), rng(seed) {
     ring.resize(kRing);
@@ -197,6 +197,22 @@ struct Loader {
     order.resize(paths.size());
     for (size_t i = 0; i < order.size(); ++i) order[i] = i;
     std::shuffle(order.begin(), order.end(), rng);
+    // Deterministic mid-stream restart: advance the shuffle cursor past
+    // the first start_batch batches without decoding them (the Python
+    // backends' batches(start_batch=N) contract, pipeline.py). Must
+    // replay the exact consumption rule of next_path_locked — one path
+    // per image, reshuffle at exhaustion (batches may straddle epochs).
+    int64_t skip = start_batch * batch;
+    while (skip > 0) {
+      int64_t left_in_epoch = static_cast<int64_t>(order.size() - order_pos);
+      if (skip <= left_in_epoch) {
+        order_pos += skip;
+        break;
+      }
+      skip -= left_in_epoch;
+      std::shuffle(order.begin(), order.end(), rng);
+      order_pos = 0;
+    }
     for (int i = 0; i < nworkers; ++i)
       workers.emplace_back([this] { worker_loop(); });
   }
@@ -233,10 +249,14 @@ struct Loader {
         gen = ticket / batch;
         slot = static_cast<int>(ticket % batch);
         buf = &ring[gen % kRing];
+        // Assign the path at ticket issuance (same critical section), so
+        // batch composition is a deterministic function of (seed, ticket)
+        // — assigning after the wait would order paths by worker wake-up,
+        // which varies run to run and would break deterministic resume.
+        path = next_path_locked();
         // Wait until the consumer has freed this buffer for `gen`.
         cv_worker.wait(lk, [&] { return stopping || buf->generation == gen; });
         if (stopping) return;
-        path = next_path_locked();
       }
       uint8_t* dst = buf->data.data() + image_bytes * slot;
       int attempts = 0;
@@ -294,11 +314,13 @@ int gea_decode_square(const char* path, int crop_size, int out_size,
 
 void* gea_loader_create(const char** paths, int n_paths, int batch,
                         int crop_size, int out_size, int workers,
-                        uint64_t seed) {
-  if (n_paths <= 0 || batch <= 0 || out_size <= 0) return nullptr;
+                        uint64_t seed, int64_t start_batch) {
+  if (n_paths <= 0 || batch <= 0 || out_size <= 0 || start_batch < 0)
+    return nullptr;
   std::vector<std::string> p(paths, paths + n_paths);
   if (workers < 1) workers = 1;
-  return new Loader(std::move(p), batch, crop_size, out_size, workers, seed);
+  return new Loader(std::move(p), batch, crop_size, out_size, workers, seed,
+                    start_batch);
 }
 
 int gea_loader_next(void* handle, uint8_t* out) {

@@ -64,6 +64,7 @@ def load_library() -> Optional[ctypes.CDLL]:
         lib.gea_loader_create.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
+            ctypes.c_int64,
         ]
         lib.gea_loader_create.restype = ctypes.c_void_p
         lib.gea_loader_next.argtypes = [

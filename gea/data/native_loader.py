@@ -7,7 +7,7 @@ memcpy-views the ready batch, so the GIL never gates decode throughput."""
 from __future__ import annotations
 
 import ctypes
-from typing import Iterator, List, Sequence
+from typing import Iterator, List, Optional, Sequence
 
 import numpy as np
 
@@ -37,7 +37,14 @@ def decode_square(path: str, crop_size: int, out_size: int) -> np.ndarray:
 class NativeFolderLoader:
     """Endless shuffled uint8 batch stream backed by the C++ pool; batches
     are already the native-resolution center crop (device_crop_size
-    makes the post-decode crop a no-op for folder-backed datasets)."""
+    makes the post-decode crop a no-op for folder-backed datasets).
+
+    The C++ pool assigns paths in ticket order under the pool lock, so
+    batch composition is a deterministic function of (seed, batch index)
+    and `batches(start_batch=N)` restarts the stream mid-run without
+    decoding the skipped prefix (the shared counter-based contract,
+    gea/data/pipeline.py). The pool starts lazily at the first batches()
+    call so the skip happens before any decode work is scheduled."""
 
     def __init__(
         self,
@@ -58,19 +65,36 @@ class NativeFolderLoader:
         self.batch_size = batch_size
         self.crop_size = crop_size
         self.decode_size = decode_size
+        self.workers = workers
+        self.seed = seed
         self.paths: List[bytes] = [p.encode() for p in paths]
-        arr = (ctypes.c_char_p * len(self.paths))(*self.paths)
-        self._handle = lib.gea_loader_create(
-            arr, len(self.paths), batch_size, crop_size, decode_size,
-            workers, seed
-        )
-        if not self._handle:
-            raise RuntimeError("gea_loader_create failed")
+        self._handle = None
+        self._start_batch: Optional[int] = None
 
     def __len__(self) -> int:
         return len(self.paths)
 
-    def batches(self) -> Iterator[np.ndarray]:
+    def _ensure_handle(self, start_batch: int) -> None:
+        if self._handle is not None:
+            if start_batch != self._start_batch:
+                raise ValueError(
+                    "NativeFolderLoader streams from one shared C++ pool; "
+                    f"it was started at batch {self._start_batch} and "
+                    f"cannot restart at {start_batch}"
+                )
+            return
+        arr = (ctypes.c_char_p * len(self.paths))(*self.paths)
+        self._handle = self._lib.gea_loader_create(
+            arr, len(self.paths), self.batch_size, self.crop_size,
+            self.decode_size, self.workers, self.seed, start_batch,
+        )
+        if not self._handle:
+            self._handle = None
+            raise RuntimeError("gea_loader_create failed")
+        self._start_batch = start_batch
+
+    def batches(self, start_batch: int = 0) -> Iterator[np.ndarray]:
+        self._ensure_handle(start_batch)
         s = self.decode_size
         while True:
             out = np.empty((self.batch_size, s, s, 3), np.uint8)

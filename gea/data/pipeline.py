@@ -7,7 +7,15 @@ the GIL inside decode), batches are handed to the device as uint8 and the
 crop/resize/flip/normalize runs jitted on device (gea/data/ondevice.py).
 A `synthetic` mode yields deterministic pseudo-images for tests and
 benchmarks (SURVEY.md §4 'Integration').
-"""
+
+Every backend's stream is COUNTER-BASED (the grain design): batch i of a
+seeded stream is a pure function of (seed, i) — epoch e's shuffle is
+`default_rng([seed, e]).permutation(n)`, never an evolving generator — so
+`batches(start_batch=N)` restarts mid-stream in O(1) without decoding the
+skipped prefix. The trainers use this to fast-forward the input pipeline
+to the resumed step, making checkpoint resume bit-deterministic (the
+reference restarts its DataLoader from scratch on resume, silently
+revisiting early batches)."""
 
 from __future__ import annotations
 
@@ -30,6 +38,13 @@ def require_enough_images(n: int, batch_size: int, what: str) -> None:
             f"{what} has {n} images but batch_size is {batch_size}; "
             "reduce --batch_size or provide more data"
         )
+
+
+def epoch_permutation(seed: int, epoch: int, n: int) -> np.ndarray:
+    """Shuffle order for epoch `epoch` of a seeded stream — a pure
+    function of (seed, epoch), so any batch index can be reconstructed
+    without replaying the stream (deterministic restart)."""
+    return np.random.default_rng([seed, epoch]).permutation(n)
 
 
 def list_images(root: str) -> List[str]:
@@ -92,7 +107,8 @@ class FolderDataset:
     """Endless shuffled batch iterator over an image folder; yields uint8
     batches of shape (batch_size, decode_size, decode_size, 3) whose
     content is already the native-resolution center crop,
-    dropping each epoch's ragged remainder."""
+    dropping each epoch's ragged remainder. Batch i is a pure function of
+    (seed, i): `batches(start_batch=N)` resumes the stream mid-epoch."""
 
 
     def __init__(
@@ -109,27 +125,33 @@ class FolderDataset:
         self.batch_size = batch_size
         self.crop_size = crop_size
         self.decode_size = decode_size
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
         self.pool = ThreadPoolExecutor(max_workers=max(1, workers))
 
     def __len__(self) -> int:
         return len(self.paths)
 
-    def batches(self) -> Iterator[np.ndarray]:
-        order = np.arange(len(self.paths))
+    def batches(self, start_batch: int = 0) -> Iterator[np.ndarray]:
+        bpe = len(self.paths) // self.batch_size
+        i = start_batch
+        epoch, order = -1, None
         while True:
-            self.rng.shuffle(order)
-            for i in range(0, len(order) - self.batch_size + 1, self.batch_size):
-                idx = order[i : i + self.batch_size]
-                arrs = list(
-                    self.pool.map(
-                        lambda j: _decode(
-                            self.paths[j], self.crop_size, self.decode_size
-                        ),
-                        idx,
-                    )
+            e, off = divmod(i, bpe)
+            if e != epoch:
+                epoch, order = e, epoch_permutation(
+                    self.seed, e, len(self.paths)
                 )
-                yield np.stack(arrs)
+            idx = order[off * self.batch_size : (off + 1) * self.batch_size]
+            arrs = list(
+                self.pool.map(
+                    lambda j: _decode(
+                        self.paths[j], self.crop_size, self.decode_size
+                    ),
+                    idx,
+                )
+            )
+            yield np.stack(arrs)
+            i += 1
 
 
 class SyntheticDataset:
@@ -147,11 +169,13 @@ class SyntheticDataset:
     def __len__(self) -> int:
         return 10_000
 
-    def batches(self) -> Iterator[np.ndarray]:
-        rng = np.random.default_rng(self.seed)
+    def batches(self, start_batch: int = 0) -> Iterator[np.ndarray]:
         s = self.decode_size
         yy, xx = np.mgrid[0:s, 0:s].astype(np.float32) / s
+        i = start_batch
         while True:
+            # Batch i is a pure function of (seed, i) — restartable.
+            rng = np.random.default_rng([self.seed, i])
             phase = rng.random((self.batch_size, 1, 1, 3), dtype=np.float32)
             base = (
                 0.5
@@ -163,6 +187,7 @@ class SyntheticDataset:
             noise = rng.random(base.shape, dtype=np.float32) * 0.1
             img = np.clip(base + noise, 0, 1) * 255
             yield img.astype(np.uint8)
+            i += 1
 
 
 def device_crop_size(cfg) -> int:
@@ -254,7 +279,7 @@ class CachedFolderDataset:
         self.batch_size = batch_size
         self.crop_size = crop_size
         self.decode_size = decode_size
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
         paths = list_images(root)
         require_enough_images(len(paths), batch_size, root)
         self.data = np.empty(
@@ -279,13 +304,19 @@ class CachedFolderDataset:
     def __len__(self) -> int:
         return len(self.data)
 
-    def batches(self) -> Iterator[np.ndarray]:
+    def batches(self, start_batch: int = 0) -> Iterator[np.ndarray]:
         n = len(self.data)
-        order = np.arange(n)
+        bpe = n // self.batch_size
+        i = start_batch
+        epoch, order = -1, None
         while True:
-            self.rng.shuffle(order)
-            for i in range(0, n - self.batch_size + 1, self.batch_size):
-                yield self.data[order[i : i + self.batch_size]]
+            e, off = divmod(i, bpe)
+            if e != epoch:
+                epoch, order = e, epoch_permutation(self.seed, e, n)
+            yield self.data[
+                order[off * self.batch_size : (off + 1) * self.batch_size]
+            ]
+            i += 1
 
 
 def _try_native_loader(cfg, dataroot: str, decode_size: int, seed: int):
@@ -340,14 +371,17 @@ def _cifar10_dataset(cfg, seed: int):
         def __len__(self):
             return len(data)
 
-        def batches(self):
-            rng = np.random.default_rng(seed)
-            order = np.arange(len(data))
+        def batches(self, start_batch: int = 0):
+            bpe = len(data) // cfg.batch_size
+            i = start_batch
+            epoch, order = -1, None
             while True:
-                rng.shuffle(order)
-                for i in range(
-                    0, len(order) - cfg.batch_size + 1, cfg.batch_size
-                ):
-                    yield data[order[i : i + cfg.batch_size]]
+                e, off = divmod(i, bpe)
+                if e != epoch:
+                    epoch, order = e, epoch_permutation(seed, e, len(data))
+                yield data[
+                    order[off * cfg.batch_size : (off + 1) * cfg.batch_size]
+                ]
+                i += 1
 
     return _Cifar()

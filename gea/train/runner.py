@@ -146,7 +146,7 @@ def dummy_input(mesh, k: int = 1) -> Iterator[Any]:
     return gen()
 
 
-def input_iterator(cfg, mesh, seed: int) -> Iterator[jax.Array]:
+def input_iterator(cfg, mesh, seed: int, start_step: int = 0) -> Iterator[jax.Array]:
     """Device-side input stream.
 
     Default (on-device pipeline): host decodes uint8 only; the jitted
@@ -158,6 +158,12 @@ def input_iterator(cfg, mesh, seed: int) -> Iterator[jax.Array]:
 
     With steps_per_dispatch=K > 1 each yielded array is a (K, B, ...)
     stack feeding one chunked dispatch (lax.scan over the K steps).
+
+    ``start_step`` (the resumed step count) fast-forwards the stream:
+    every backend's batch i is a pure function of (seed, i), and one
+    train step consumes exactly one batch, so a resumed run sees the
+    same data sequence a never-interrupted run would — deterministic
+    resume, O(1) skip, nothing decoded for the skipped prefix.
     """
     k = dispatch_chunk(cfg)
     n_proc = jax.process_count()
@@ -188,7 +194,7 @@ def input_iterator(cfg, mesh, seed: int) -> Iterator[jax.Array]:
             from gea.data.hostpre import host_downsample_uint8
 
             crop = device_crop_size(cfg)
-            raw_batches = ds.batches()
+            raw_batches = ds.batches(start_step)
 
             def resized():
                 for raw in raw_batches:
@@ -196,21 +202,20 @@ def input_iterator(cfg, mesh, seed: int) -> Iterator[jax.Array]:
 
             batches = resized()
         else:
-            batches = ds.batches()
+            batches = ds.batches(start_step)
     else:
         from gea.data.hostpre import host_preprocess
-
-        host_rng = np.random.default_rng(seed ^ 0xFEED)
 
         def host_batches():
             # Folder-backed datasets already center-cropped at native res
             # inside decode, so the host transform must not crop again
-            # (ADVICE.md r1).
+            # (ADVICE.md r1). Flip randomness is keyed by the batch index
+            # so the host path keeps the counter-based restart contract.
             crop = device_crop_size(cfg)
-            for raw in ds.batches():
+            for i, raw in enumerate(ds.batches(start_step), start_step):
                 yield host_preprocess(
                     raw,
-                    host_rng,
+                    np.random.default_rng([seed ^ 0xFEED, i]),
                     crop_size=crop,
                     image_size=cfg.image_size,
                     augment_flip=cfg.augment_flip,
@@ -559,7 +564,12 @@ class TrainLoop:
                 # Ragged tail: run only the steps that remain. The surplus
                 # stacked batches are dropped (endless shuffled stream).
                 raw = raw[:k_eff]
-            self._data_rng, prng = jax.random.split(self._data_rng)
+            # Keyed by the GLOBAL step, not a sequentially-split chain:
+            # a resumed run then draws the same per-step randomness (flip
+            # masks, z, synthetic data) a never-interrupted run would —
+            # the rng half of deterministic resume (input_iterator's
+            # start_step fast-forward is the data half).
+            prng = jax.random.fold_in(self._data_rng, it)
             self.state, metrics = self.step_fn(self.state, raw, prng)
             if self.meter.tick(k_eff):
                 # Warmup just ended: drain the async queue (first compile +

@@ -179,3 +179,39 @@ def test_decode_matches_torchvision_oracle(tmp_path):
             dtype=np.uint8,
         )
     assert np.array_equal(ours, oracle)
+
+
+def test_loader_deterministic_and_restartable(jpeg_dir):
+    """Batch composition is a pure function of (seed, batch index): paths
+    are assigned at ticket issuance in the C++ pool, so worker count and
+    wake order do not change the stream, and start_batch fast-forwards it
+    (deterministic resume, gea/data/pipeline.py contract)."""
+    def take(workers, start, n):
+        ld = native.NativeFolderLoader(
+            jpeg_dir, batch_size=4, crop_size=64, decode_size=32,
+            workers=workers, seed=9,
+        )
+        it = ld.batches(start)
+        out = [next(it).copy() for _ in range(n)]
+        ld.close()
+        return out
+
+    # 10 images, batch 4: batches straddle the reshuffle at 10/20/... draws
+    full = take(workers=3, start=0, n=7)
+    again = take(workers=1, start=0, n=7)  # worker count must not matter
+    for a, b in zip(full, again):
+        np.testing.assert_array_equal(a, b)
+    tail = take(workers=2, start=5, n=2)
+    for a, b in zip(full[5:], tail):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_loader_rejects_conflicting_restart(jpeg_dir):
+    ld = native.NativeFolderLoader(
+        jpeg_dir, batch_size=4, crop_size=64, decode_size=32, workers=1,
+        seed=0,
+    )
+    next(ld.batches(2))
+    with pytest.raises(ValueError, match="cannot restart"):
+        next(ld.batches(0))
+    ld.close()
