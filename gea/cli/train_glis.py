@@ -151,6 +151,13 @@ def run(cfg: TrainGLISConfig):
         raise ValueError(
             f"batch_size {cfg.batch_size} must divide over {num_chips} devices"
         )
+    if cfg.grad_accum > 1:
+        per_device = cfg.batch_size // max(1, num_chips)
+        if per_device % cfg.grad_accum != 0:
+            raise ValueError(
+                f"per-device batch {per_device} must divide by "
+                f"--grad_accum {cfg.grad_accum}"
+            )
 
     generator, discriminator = build_models(cfg)
     tx_g = make_optimizer(cfg.lr, cfg.beta1, cfg.beta2)

@@ -316,6 +316,16 @@ class TrainGLISConfig(ModelConfig, DataConfig):
         "~75ms floor per dispatch); log/vis/save cadences fire at chunk "
         "boundaries. 1 = one dispatch per step",
     )
+    grad_accum: int = _flag(
+        1,
+        "accumulate gradients over K sequential microbatches per "
+        "optimizer update (lax.scan inside the step): numerically "
+        "identical to K=1 at the same --batch_size, but activation "
+        "memory drops ~K x — raises the feasible batch size/resolution "
+        "per chip. Requires --norm weight|none; the per-device batch "
+        "must divide by K. Composes with data/tensor parallelism and "
+        "--steps_per_dispatch (beyond-reference option)",
+    )
     profile_dir: str = _flag(
         "", "if set, write a jax.profiler trace for steps 10..15 here"
     )

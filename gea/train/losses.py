@@ -91,12 +91,20 @@ def wgan_g(logits: jnp.ndarray) -> jnp.ndarray:
     return -jnp.mean(logits.astype(jnp.float32))
 
 
-def gradient_penalty(d_apply, real: jnp.ndarray, fake: jnp.ndarray, rng) -> jnp.ndarray:
+def gradient_penalty(
+    d_apply, real: jnp.ndarray, fake: jnp.ndarray, rng=None, eps=None
+) -> jnp.ndarray:
     """WGAN-GP (Gulrajani et al. 2017): E[(||grad_x D(x_hat)|| - 1)^2] on
     random interpolates x_hat between real and fake batches. `d_apply`
     maps images -> logits (params closed over; the step differentiates the
-    whole D loss w.r.t. params afterwards — grad-of-grad)."""
-    eps = jax.random.uniform(rng, (real.shape[0], 1, 1, 1), jnp.float32)
+    whole D loss w.r.t. params afterwards — grad-of-grad).
+
+    `eps` (per-sample interpolation coefficients, shape (B, 1, 1, 1)) may
+    be pre-drawn by the caller — the gradient-accumulation path draws one
+    full-batch eps and slices it per microbatch so K>1 stays numerically
+    identical to K=1."""
+    if eps is None:
+        eps = jax.random.uniform(rng, (real.shape[0], 1, 1, 1), jnp.float32)
     x_hat = eps * real.astype(jnp.float32) + (1.0 - eps) * fake.astype(
         jnp.float32
     )

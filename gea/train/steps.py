@@ -91,6 +91,13 @@ def build_glis_train_step(
     use_gp = gan_kind == "wgan-gp"
     gp_weight = getattr(cfg, "gp_weight", 10.0)
     ema_decay = getattr(cfg, "g_ema", 0.0)
+    accum = max(1, int(getattr(cfg, "grad_accum", 1)))
+    if accum > 1 and cfg.norm == "batch":
+        raise ValueError(
+            "--grad_accum > 1 requires --norm weight|none: batch "
+            "statistics would be computed per-microbatch, changing the "
+            "reference's full-batch BatchNorm semantics"
+        )
 
     def step(state: GANTrainState, real: jnp.ndarray):
         batch = real.shape[0]
@@ -274,4 +281,171 @@ def build_glis_train_step(
         )
         return new_state, metrics
 
-    return step
+    def step_accum(state: GANTrainState, real: jnp.ndarray):
+        """--grad_accum K path: identical math to `step` at the same
+        batch size (z/spatial-noise/GP-eps are drawn once for the FULL
+        batch, then sliced, and all losses are means over equal-sized
+        microbatches, so the average of microbatch gradients equals the
+        full-batch gradient), but the forward/backward runs as a
+        `lax.scan` over K microbatches — activation memory drops ~K x,
+        raising the feasible batch/resolution per chip. Weight-norm/none
+        only (guarded at build time); extras stay empty, so the
+        microbatch losses can close over the static state."""
+        batch = real.shape[0]
+        if batch % accum:
+            raise ValueError(
+                f"per-device batch {batch} not divisible by "
+                f"grad_accum {accum}"
+            )
+        micro = batch // accum
+        step_rng = jax.random.fold_in(state.rng, state.step)
+        if axis_name is not None and fold_device_noise:
+            step_rng = jax.random.fold_in(step_rng, lax.axis_index(axis_name))
+        z_rng, sn_rng, gp_rng = jax.random.split(step_rng, 3)
+        z = jax.random.normal(z_rng, (batch, cfg.code_size), jnp.float32)
+        sn_shape = generator.spatial_noise_shape(batch)
+        sn = (
+            jax.random.normal(sn_rng, sn_shape, jnp.float32)
+            if sn_shape
+            else None
+        )
+
+        def split_mb(x):
+            return x.reshape(accum, micro, *x.shape[1:])
+
+        xs = {"real": split_mb(real), "z": split_mb(z)}
+        if sn is not None:
+            xs["sn"] = split_mb(sn)
+        if use_gp:
+            # Same draw as gradient_penalty's internal one at K=1.
+            xs["eps"] = split_mb(
+                jax.random.uniform(gp_rng, (batch, 1, 1, 1), jnp.float32)
+            )
+
+        def gen_images(params_g, z_mb, sn_mb):
+            (images, _zs), _ = _apply_model(
+                generator,
+                params_g,
+                state.extras_g,
+                z_mb,
+                train=True,
+                spatial_noise=sn_mb,
+            )
+            return images  # (S, micro, H, W, 3)
+
+        # ------------------------------------------ D grads, accumulated
+        def d_micro(x):
+            real_mb = x["real"]
+            fakes = lax.stop_gradient(
+                gen_images(state.params_g, x["z"], x.get("sn"))
+            )
+            flat_fakes = fakes.reshape(-1, *fakes.shape[2:])
+
+            def d_loss_fn(params_d):
+                combined = jnp.concatenate(
+                    [real_mb.astype(flat_fakes.dtype), flat_fakes], axis=0
+                )
+                logits_all, _ = _apply_model(
+                    discriminator, params_d, state.extras_d, combined,
+                    train=True,
+                )
+                logits_real = logits_all[:micro]
+                logits_fake = logits_all[micro:].reshape(n_stages, micro)
+                loss = d_real_fn(logits_real) + losses.staged_apply(
+                    d_fake_fn, logits_fake, weights
+                )
+                if use_gp:
+                    loss = loss + gp_weight * losses.gradient_penalty(
+                        lambda im: _apply_model(
+                            discriminator, params_d, state.extras_d, im,
+                            train=True,
+                        )[0],
+                        real_mb,
+                        fakes[-1],
+                        eps=x["eps"],
+                    )
+                return loss, (logits_real, logits_fake)
+
+            (loss, (lr_mb, lf_mb)), grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True
+            )(state.params_d)
+            return (
+                grads,
+                loss,
+                jnp.mean(jax.nn.sigmoid(lr_mb)),
+                jnp.mean(jax.nn.sigmoid(lf_mb[-1])),
+            )
+
+        def d_body(carry, x):
+            g_acc, l_acc, r_acc, f_acc = carry
+            grads, loss, d_real, d_fake = d_micro(x)
+            g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
+            return (g_acc, l_acc + loss, r_acc + d_real, f_acc + d_fake), None
+
+        zero = jnp.zeros((), jnp.float32)
+        d_init = (
+            jax.tree_util.tree_map(jnp.zeros_like, state.params_d),
+            zero,
+            zero,
+            zero,
+        )
+        (g_acc_d, loss_d, d_real_m, d_fake_m), _ = lax.scan(d_body, d_init, xs)
+        grads_d = jax.tree_util.tree_map(lambda a: a / accum, g_acc_d)
+        grads_d = _maybe_pmean(grads_d, axis_name)
+        updates_d, opt_d = tx_d.update(grads_d, state.opt_d, state.params_d)
+        params_d = optax.apply_updates(state.params_d, updates_d)
+
+        # ------------------------- G grads vs the updated D, accumulated
+        def g_micro(x):
+            def g_loss_fn(params_g):
+                images = gen_images(params_g, x["z"], x.get("sn"))
+                flat = images.reshape(-1, *images.shape[2:])
+                logits, _ = _apply_model(
+                    discriminator, params_d, state.extras_d, flat, train=True
+                )
+                logits = logits.reshape(n_stages, micro)
+                return losses.staged_apply(g_fn, logits, weights)
+
+            return jax.value_and_grad(g_loss_fn)(state.params_g)
+
+        def g_body(carry, x):
+            g_acc, l_acc = carry
+            loss, grads = g_micro(x)
+            return (
+                jax.tree_util.tree_map(jnp.add, g_acc, grads),
+                l_acc + loss,
+            ), None
+
+        g_init = (jax.tree_util.tree_map(jnp.zeros_like, state.params_g), zero)
+        (g_acc_g, loss_g), _ = lax.scan(g_body, g_init, xs)
+        grads_g = jax.tree_util.tree_map(lambda a: a / accum, g_acc_g)
+        grads_g = _maybe_pmean(grads_g, axis_name)
+        updates_g, opt_g = tx_g.update(grads_g, state.opt_g, state.params_g)
+        params_g = optax.apply_updates(state.params_g, updates_g)
+
+        params_g_ema = state.params_g_ema
+        if ema_decay > 0:
+            params_g_ema = jax.tree_util.tree_map(
+                lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+                params_g_ema,
+                params_g,
+            )
+
+        metrics: Metrics = {
+            "loss_d": loss_d / accum,
+            "loss_g": loss_g / accum,
+            "d_real": d_real_m / accum,
+            "d_fake_final": d_fake_m / accum,
+        }
+        metrics = _maybe_pmean(metrics, axis_name)
+        new_state = state.replace(
+            step=state.step + 1,
+            params_g=params_g,
+            params_d=params_d,
+            opt_g=opt_g,
+            opt_d=opt_d,
+            params_g_ema=params_g_ema,
+        )
+        return new_state, metrics
+
+    return step_accum if accum > 1 else step

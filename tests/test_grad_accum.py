@@ -1,0 +1,169 @@
+"""--grad_accum tests: the K-microbatch accumulated step must be
+numerically identical to the K=1 step at the same batch size (the flag's
+whole contract — it trades compute serialization for ~K x lower
+activation memory, never different math). SURVEY.md §4 'Integration'."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gea.config import TrainGLISConfig
+from gea.models import Discriminator, GeneratorLIS
+from gea.parallel import make_mesh, make_parallel_step, shard_batch
+from gea.parallel.dp import replicate_state
+from gea.parallel.mesh import DATA_AXIS
+from gea.train.state import create_glis_state, make_optimizer
+from gea.train.steps import build_glis_train_step
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        image_size=16,
+        code_size=16,
+        r_iterations=1,
+        norm="weight",
+        num_features=4,
+        max_features=16,
+        dtype="float32",
+        batch_size=8,
+        dataset="synthetic",
+        lr=1e-3,
+    )
+    base.update(kw)
+    return TrainGLISConfig(**base)
+
+
+def build(cfg, axis_name=None, seed=0, **step_kw):
+    g = GeneratorLIS.from_config(cfg)
+    d = Discriminator.from_config(cfg)
+    tx_g = make_optimizer(cfg.lr, cfg.beta1, cfg.beta2)
+    tx_d = make_optimizer(cfg.lr, cfg.beta1, cfg.beta2)
+    state = create_glis_state(cfg, g, d, tx_g, tx_d, seed)
+    step = build_glis_train_step(
+        cfg, g, d, tx_g, tx_d, axis_name=axis_name, **step_kw
+    )
+    return state, step
+
+
+def fake_real_batch(cfg, n):
+    rng = np.random.default_rng(0)
+    return rng.uniform(-1, 1, (n, cfg.image_size, cfg.image_size, 3)).astype(
+        np.float32
+    )
+
+
+def assert_trees_close(a, b, atol, rtol=1e-4):
+    for x, y in zip(
+        jax.tree_util.tree_leaves(jax.device_get(a)),
+        jax.tree_util.tree_leaves(jax.device_get(b)),
+    ):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=atol, rtol=rtol)
+
+
+def _run_equivalence(extra_cfg, steps=2, atol=5e-6):
+    """accum=4 over 2 steps must match accum=1 on the same data/seed."""
+    cfg1 = tiny_cfg(**extra_cfg)
+    cfg4 = tiny_cfg(grad_accum=4, **extra_cfg)
+    state1, step1 = build(cfg1)
+    state4, step4 = build(cfg4)
+    j1 = jax.jit(step1)
+    j4 = jax.jit(step4)
+    real = fake_real_batch(cfg1, cfg1.batch_size)
+    for _ in range(steps):
+        state1, m1 = j1(state1, real)
+        state4, m4 = j4(state4, real)
+    for k in m1:
+        np.testing.assert_allclose(
+            float(m1[k]), float(m4[k]), rtol=1e-4, atol=1e-6, err_msg=k
+        )
+    assert_trees_close(state1.params_g, state4.params_g, atol)
+    assert_trees_close(state1.params_d, state4.params_d, atol)
+    return state1, state4
+
+
+def test_accum_matches_full_batch_bce():
+    _run_equivalence({})
+
+
+def test_accum_matches_full_batch_with_spatial_noise_and_ema():
+    s1, s4 = _run_equivalence({"spatial_code": 4, "g_ema": 0.9})
+    assert_trees_close(s1.params_g_ema, s4.params_g_ema, 5e-6)
+
+
+def test_accum_matches_full_batch_wgan_gp():
+    """The GP interpolation coefficients are drawn full-batch then sliced,
+    so the grad-of-grad penalty is also exactly preserved under K>1.
+
+    SGD instead of Adam here: the Wasserstein loss is shift-invariant, so
+    D's head-bias gradient is mathematically ZERO (the -mean/+mean
+    adversarial terms cancel and the GP never sees the bias) — Adam's
+    first update on that leaf is g/(|g|+eps) of pure float noise, i.e. an
+    arbitrary sign at full lr, which no tolerance survives. SGD keeps the
+    comparison what the flag promises: accumulated grads == full-batch
+    grads."""
+    import optax
+
+    from gea.train.steps import build_glis_train_step as build_step
+
+    states, metrics, cfgs = [], [], [
+        tiny_cfg(gan_loss="wgan-gp", gp_weight=10.0),
+        tiny_cfg(gan_loss="wgan-gp", gp_weight=10.0, grad_accum=4),
+    ]
+    real = fake_real_batch(cfgs[0], 8)
+    for cfg in cfgs:
+        g = GeneratorLIS.from_config(cfg)
+        d = Discriminator.from_config(cfg)
+        tx = optax.sgd(1e-3)
+        state = create_glis_state(cfg, g, d, tx, tx, 0)
+        step = jax.jit(build_step(cfg, g, d, tx, tx))
+        for _ in range(2):
+            state, m = step(state, real)
+        states.append(state)
+        metrics.append(m)
+    for k in metrics[0]:
+        np.testing.assert_allclose(
+            float(metrics[0][k]), float(metrics[1][k]), rtol=1e-5, err_msg=k
+        )
+    assert_trees_close(states[0].params_d, states[1].params_d, 5e-7)
+    assert_trees_close(states[0].params_g, states[1].params_g, 5e-7)
+
+
+def test_accum_rejects_batch_norm():
+    cfg = tiny_cfg(norm="batch", grad_accum=2)
+    with pytest.raises(ValueError, match="grad_accum"):
+        build(cfg)
+
+
+def test_accum_rejects_indivisible_batch():
+    cfg = tiny_cfg(grad_accum=3)  # 8 % 3 != 0
+    state, step = build(cfg)
+    with pytest.raises(ValueError, match="divisible"):
+        jax.jit(step)(state, fake_real_batch(cfg, 8))
+
+
+@pytest.mark.slow
+def test_accum_composes_with_shard_map():
+    """Under the 8-device DP mesh, accum=2 must match accum=1 (same seeds,
+    same shards): accumulation happens per device BEFORE the pmean, so the
+    reduction contract is unchanged."""
+    mesh = make_mesh(8)
+    real = fake_real_batch(tiny_cfg(), 16)
+
+    results = []
+    for accum in (1, 2):
+        cfg = tiny_cfg(batch_size=16, grad_accum=accum)
+        state, step = build(cfg, axis_name=DATA_AXIS)
+        pstep = make_parallel_step(step, mesh)
+        new_state, metrics = pstep(
+            replicate_state(state, mesh), shard_batch(real, mesh)
+        )
+        results.append((new_state, metrics))
+    (s1, m1), (s2, m2) = results
+    np.testing.assert_allclose(
+        float(m1["loss_d"]), float(m2["loss_d"]), rtol=1e-5
+    )
+    assert_trees_close(s1.params_g, s2.params_g, 5e-6)
+    assert_trees_close(s1.params_d, s2.params_d, 5e-6)
+    for leaf in jax.tree_util.tree_leaves(s2.params_g):
+        assert leaf.sharding.is_fully_replicated
