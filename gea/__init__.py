@@ -43,3 +43,21 @@ if _os.environ.get("GEA_PLATFORM"):
     import jax as _jax
 
     _jax.config.update("jax_platforms", _os.environ["GEA_PLATFORM"])
+
+if _os.environ.get("GEA_COMPILE_CACHE"):
+    # Persistent XLA compilation cache shared by every gea process
+    # (trainers, samplers, eval CLIs, bench.py): a production workflow
+    # touches the same programs from several processes, and each remote
+    # TPU compile costs 20-40s on a tunneled runtime. Keyed by HLO +
+    # compiler version, so it is always safe to share/keep. The low
+    # min-compile-time floor also caches the small sampler/eval programs.
+    import jax as _jax
+
+    _cache_dir = _os.path.abspath(_os.environ["GEA_COMPILE_CACHE"])
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs",
+        float(_os.environ.get("GEA_COMPILE_CACHE_MIN_SECS", "0.5")),
+    )
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
