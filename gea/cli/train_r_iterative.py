@@ -23,6 +23,7 @@ from gea.parallel.mesh import DATA_AXIS
 from gea.train.runner import (
     TrainLoop,
     build_step_fn,
+    check_batch,
     fuse_input_pipeline,
     input_iterator,
     maybe_resume,
@@ -150,10 +151,7 @@ def run(cfg: TrainRIterativeConfig):
     run_dir = prepare_run(cfg)
     mesh = resolve_mesh(cfg)
     num_chips = mesh.devices.size if mesh is not None else 1
-    if cfg.batch_size % max(1, num_chips) != 0:
-        raise ValueError(
-            f"batch_size {cfg.batch_size} must divide over {num_chips} devices"
-        )
+    check_batch(cfg, num_chips)
 
     generator, discriminator, reverter = build_models(cfg)
     tx_g = make_optimizer(cfg.lr, cfg.beta1, cfg.beta2)

@@ -27,6 +27,7 @@ from gea.parallel.mesh import DATA_AXIS
 from gea.train.runner import (
     TrainLoop,
     build_step_fn,
+    check_batch,
     dispatch_chunk,
     dummy_input,
     maybe_resume,
@@ -204,10 +205,7 @@ def run(cfg: TrainRSeparateConfig):
     )
     mesh = resolve_mesh(cfg)
     num_chips = mesh.devices.size if mesh is not None else 1
-    if cfg.batch_size % max(1, num_chips) != 0:
-        raise ValueError(
-            f"batch_size {cfg.batch_size} must divide over {num_chips} devices"
-        )
+    check_batch(cfg, num_chips)
 
     reverter = Reverter.from_config(cfg)
     tx_r = make_optimizer(cfg.lr, cfg.beta1, cfg.beta2)

@@ -467,6 +467,14 @@ class TrainRConfig(ModelConfig, DataConfig):
         "fuse K train steps into one XLA dispatch (lax.scan); "
         "log/vis/save cadences fire at chunk boundaries",
     )
+    grad_accum: int = _flag(
+        1,
+        "accumulate gradients over K sequential microbatches per "
+        "optimizer update (lax.scan inside the step): numerically "
+        "identical to K=1 at the same --batch_size, ~K x lower "
+        "activation memory. Requires --norm weight|none; the per-device "
+        "batch must divide by K (beyond-reference option)",
+    )
     use_pallas: bool = _flag(
         False,
         "use fused Pallas kernels on TPU (default OFF: XLA measured "

@@ -73,6 +73,23 @@ def prepare_run(cfg) -> str:
     return run_dir
 
 
+def check_batch(cfg, num_chips: int) -> None:
+    """Global batch must split over the mesh, and the per-device batch
+    must split over --grad_accum microbatches."""
+    if cfg.batch_size % max(1, num_chips) != 0:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} must divide over {num_chips} devices"
+        )
+    accum = max(1, getattr(cfg, "grad_accum", 1))
+    if accum > 1:
+        per_device = cfg.batch_size // max(1, num_chips)
+        if per_device % accum != 0:
+            raise ValueError(
+                f"per-device batch {per_device} must divide by "
+                f"--grad_accum {accum}"
+            )
+
+
 def resolve_mesh(cfg):
     """None for a single device; a 1-axis data mesh; or a 2-axis
     ('data', 'model') mesh when --model_shards > 1 (GSPMD dp x tp,

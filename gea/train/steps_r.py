@@ -43,6 +43,24 @@ def _maybe_pmean(tree: Any, axis_name: Optional[str]) -> Any:
     return lax.pmean(tree, axis_name)
 
 
+def _check_accum(cfg) -> int:
+    """--grad_accum for the R trainers (same contract as the G-LIS step,
+    gea/train/steps.py): K sequential microbatches per optimizer update,
+    identical math to K=1 at the same batch size."""
+    accum = max(1, int(getattr(cfg, "grad_accum", 1)))
+    if accum > 1 and cfg.norm == "batch":
+        raise ValueError(
+            "--grad_accum > 1 requires --norm weight|none: batch "
+            "statistics would be computed per-microbatch, changing the "
+            "reference's full-batch BatchNorm semantics"
+        )
+    return accum
+
+
+def _split_mb(x: jnp.ndarray, accum: int) -> jnp.ndarray:
+    return x.reshape(accum, x.shape[0] // accum, *x.shape[1:])
+
+
 def build_r_separate_step(
     cfg: TrainRSeparateConfig,
     generator: GeneratorLIS,
@@ -76,6 +94,7 @@ def build_r_separate_step(
         and frozen_d_variables is not None
         and cfg.r_mine_weight > 0
     )
+    accum = _check_accum(cfg)
 
     def step(state: GANTrainState, _unused: jnp.ndarray):
         batch = cfg.batch_size
@@ -187,7 +206,129 @@ def build_r_separate_step(
         )
         return new_state, metrics
 
-    return step
+    def step_accum(state: GANTrainState, _unused: jnp.ndarray):
+        """--grad_accum path. The frozen-G defective renders and the
+        mining weights are computed full-batch OUTSIDE the scan (the
+        mining weights normalize over the WHOLE batch, and the no-grad
+        forward holds no residuals), then the R forward/backward — the
+        memory hog, since the adversarial term backprops through a full
+        corrected G render — scans over K microbatches. Weight-norm/none
+        only (extras stay empty), guarded in _check_accum."""
+        batch = cfg.batch_size
+        if axis_name is not None:
+            batch = batch // lax.psum(1, axis_name)
+        if batch % accum:
+            raise ValueError(
+                f"per-device batch {batch} not divisible by "
+                f"grad_accum {accum}"
+            )
+        step_rng = jax.random.fold_in(state.rng, state.step)
+        if axis_name is not None:
+            step_rng = jax.random.fold_in(step_rng, lax.axis_index(axis_name))
+        z_rng, sn_rng = jax.random.split(step_rng)
+        z = jax.random.normal(z_rng, (batch, cfg.code_size), jnp.float32)
+        sn_shape = generator.spatial_noise_shape(batch)
+        sn = (
+            jax.random.normal(sn_rng, sn_shape, jnp.float32)
+            if sn_shape
+            else None
+        )
+
+        images, zs = generator.apply(
+            frozen_g_variables,
+            z,
+            spatial_noise=sn,
+            train=False,
+            render_all_stages=True,
+        )
+        final_img = lax.stop_gradient(images[-1])
+        target_code = lax.stop_gradient(zs[-1])
+
+        xs = {
+            "img": _split_mb(final_img, accum),
+            "code": _split_mb(target_code, accum),
+        }
+        if sn is not None:
+            xs["sn"] = _split_mb(sn, accum)
+        if use_mine:
+            d_logits = discriminator.apply(
+                frozen_d_variables, final_img, train=False
+            )
+            defect = 1.0 - jax.nn.sigmoid(d_logits.astype(jnp.float32))
+            defect = defect / (jnp.mean(defect) + 1e-8)  # full-batch norm
+            xs["mine"] = _split_mb(
+                lax.stop_gradient(
+                    (1.0 - cfg.r_mine_weight) + cfg.r_mine_weight * defect
+                ),
+                accum,
+            )
+
+        def r_micro(x):
+            def r_loss_fn(params_r):
+                z_pred = reverter.apply(
+                    {"params": params_r}, x["img"], train=True
+                )
+                per_sample = jnp.mean(
+                    jnp.square(z_pred - x["code"]), axis=-1
+                )
+                if use_mine:
+                    per_sample = per_sample * x["mine"]
+                loss_mse = jnp.mean(per_sample)
+                loss = cfg.r_mse_weight * loss_mse
+                loss_adv = jnp.float32(0.0)
+                if use_adv:
+                    corr_images, _ = generator.apply(
+                        frozen_g_variables,
+                        z_pred,
+                        spatial_noise=x.get("sn"),
+                        train=False,
+                        render_all_stages=True,
+                    )
+                    logits_corr = discriminator.apply(
+                        frozen_d_variables, corr_images[-1], train=False
+                    )
+                    loss_adv = losses.g_adv_loss(logits_corr)
+                    loss = loss + cfg.r_adv_weight * loss_adv
+                return loss, (z_pred, loss_mse, loss_adv)
+
+            (loss_r, (z_pred, loss_mse, loss_adv)), grads = (
+                jax.value_and_grad(r_loss_fn, has_aux=True)(state.params_r)
+            )
+            corr = jnp.mean(jnp.linalg.norm(z_pred - x["code"], axis=-1))
+            return grads, jnp.stack([loss_r, loss_mse, loss_adv, corr])
+
+        def body(carry, x):
+            g_acc, s_acc = carry
+            grads, scalars = r_micro(x)
+            return (
+                jax.tree_util.tree_map(jnp.add, g_acc, grads),
+                s_acc + scalars,
+            ), None
+
+        init = (
+            jax.tree_util.tree_map(jnp.zeros_like, state.params_r),
+            jnp.zeros((4,), jnp.float32),
+        )
+        (g_acc, s_acc), _ = lax.scan(body, init, xs)
+        grads_r = jax.tree_util.tree_map(lambda a: a / accum, g_acc)
+        grads_r = _maybe_pmean(grads_r, axis_name)
+        updates_r, opt_r = tx_r.update(grads_r, state.opt_r, state.params_r)
+        params_r = optax.apply_updates(state.params_r, updates_r)
+
+        s_acc = s_acc / accum
+        metrics: Metrics = {
+            "loss_r": s_acc[0],
+            "loss_r_mse": s_acc[1],
+            "loss_r_adv": s_acc[2],
+            "correction_norm": s_acc[3],
+        }
+        metrics = _maybe_pmean(metrics, axis_name)
+        new_state = state.replace(
+            step=state.step + 1, params_r=params_r, opt_r=opt_r
+        )
+        return new_state, metrics
+
+    return step_accum if accum > 1 else step
 
 
 def build_r_iterative_step(
@@ -206,6 +347,7 @@ def build_r_iterative_step(
     # Final link weighted highest, like the staged G-LIS loss.
     raw_w = [0.5 + 0.5 * i / max(1, n_links - 1) for i in range(n_links)]
     weights = tuple(w / sum(raw_w) for w in raw_w)
+    accum = _check_accum(cfg)
 
     def unroll(params_g, extras_g, params_r, extras_r, z0, sn):
         """Chain: z_t = z_{t-1} + R(img_{t-1}); returns stacked images
@@ -335,4 +477,162 @@ def build_r_iterative_step(
         )
         return new_state, metrics
 
-    return step
+    def step_accum(state: GANTrainState, real: jnp.ndarray):
+        """--grad_accum path: same two-phase structure (D update on
+        detached chain renders, then joint G+R vs the new D) but each
+        phase scans over K microbatches — the chain unrolls T+1 full
+        generator renders per sample, so activation memory is the
+        binding constraint at scale. Weight-norm/none only (extras stay
+        empty, guarded in _check_accum); noise drawn full-batch then
+        sliced so K>1 equals K=1 exactly."""
+        from gea.train.steps import _apply_model
+
+        batch = real.shape[0]
+        if batch % accum:
+            raise ValueError(
+                f"per-device batch {batch} not divisible by "
+                f"grad_accum {accum}"
+            )
+        micro = batch // accum
+        step_rng = jax.random.fold_in(state.rng, state.step)
+        if axis_name is not None:
+            step_rng = jax.random.fold_in(step_rng, lax.axis_index(axis_name))
+        z_rng, sn_rng = jax.random.split(step_rng)
+        z0 = jax.random.normal(z_rng, (batch, cfg.code_size), jnp.float32)
+        sn_shape = generator.spatial_noise_shape(batch)
+        sn = (
+            jax.random.normal(sn_rng, sn_shape, jnp.float32)
+            if sn_shape
+            else None
+        )
+
+        xs = {"real": _split_mb(real, accum), "z0": _split_mb(z0, accum)}
+        if sn is not None:
+            xs["sn"] = _split_mb(sn, accum)
+
+        # ---------------------------------------- D phase, accumulated
+        def d_micro(x):
+            fakes, _, _, _ = unroll(
+                state.params_g,
+                state.extras_g,
+                state.params_r,
+                state.extras_r,
+                x["z0"],
+                x.get("sn"),
+            )
+            fakes = lax.stop_gradient(fakes)
+            flat_fakes = fakes.reshape(-1, *fakes.shape[2:])
+
+            def d_loss_fn(params_d):
+                logits_real, _ = _apply_model(
+                    discriminator, params_d, state.extras_d, x["real"],
+                    train=True,
+                )
+                logits_fake, _ = _apply_model(
+                    discriminator, params_d, state.extras_d, flat_fakes,
+                    train=True,
+                )
+                logits_fake = logits_fake.reshape(n_links, micro)
+                loss = losses.d_real_loss(logits_real) + losses.staged_loss(
+                    logits_fake, weights, 0.0
+                )
+                return loss, logits_real
+
+            (loss, logits_real), grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True
+            )(state.params_d)
+            return grads, loss, jnp.mean(jax.nn.sigmoid(logits_real))
+
+        def d_body(carry, x):
+            g_acc, l_acc, r_acc = carry
+            grads, loss, d_real = d_micro(x)
+            return (
+                jax.tree_util.tree_map(jnp.add, g_acc, grads),
+                l_acc + loss,
+                r_acc + d_real,
+            ), None
+
+        zero = jnp.zeros((), jnp.float32)
+        d_init = (
+            jax.tree_util.tree_map(jnp.zeros_like, state.params_d),
+            zero,
+            zero,
+        )
+        (g_acc_d, loss_d, d_real_m), _ = lax.scan(d_body, d_init, xs)
+        grads_d = jax.tree_util.tree_map(lambda a: a / accum, g_acc_d)
+        grads_d = _maybe_pmean(grads_d, axis_name)
+        updates_d, opt_d = tx_d.update(grads_d, state.opt_d, state.params_d)
+        params_d = optax.apply_updates(state.params_d, updates_d)
+
+        # ------------------------------ joint G+R phase vs the new D
+        def gr_micro(x):
+            def gr_loss_fn(params_gr):
+                params_g, params_r = params_gr
+                images, zs, _, _ = unroll(
+                    params_g,
+                    state.extras_g,
+                    params_r,
+                    state.extras_r,
+                    x["z0"],
+                    x.get("sn"),
+                )
+                flat = images.reshape(-1, *images.shape[2:])
+                logits, _ = _apply_model(
+                    discriminator, params_d, state.extras_d, flat, train=True
+                )
+                logits = logits.reshape(n_links, micro)
+                adv = losses.staged_loss(logits, weights, 1.0)
+                sim = losses.z_similarity_loss(zs[1:] - zs[:-1])
+                return adv + cfg.lambda_r * sim, (adv, sim)
+
+            (_, (adv, sim)), grads = jax.value_and_grad(
+                gr_loss_fn, has_aux=True
+            )((state.params_g, state.params_r))
+            return grads, adv, sim
+
+        def gr_body(carry, x):
+            g_acc, a_acc, s_acc = carry
+            grads, adv, sim = gr_micro(x)
+            return (
+                jax.tree_util.tree_map(jnp.add, g_acc, grads),
+                a_acc + adv,
+                s_acc + sim,
+            ), None
+
+        gr_init = (
+            jax.tree_util.tree_map(
+                jnp.zeros_like, (state.params_g, state.params_r)
+            ),
+            zero,
+            zero,
+        )
+        (g_acc_gr, adv, sim), _ = lax.scan(gr_body, gr_init, xs)
+        grads_g, grads_r = jax.tree_util.tree_map(
+            lambda a: a / accum, g_acc_gr
+        )
+        grads_g = _maybe_pmean(grads_g, axis_name)
+        grads_r = _maybe_pmean(grads_r, axis_name)
+        updates_g, opt_g = tx_g.update(grads_g, state.opt_g, state.params_g)
+        params_g = optax.apply_updates(state.params_g, updates_g)
+        updates_r, opt_r = tx_r.update(grads_r, state.opt_r, state.params_r)
+        params_r = optax.apply_updates(state.params_r, updates_r)
+
+        metrics: Metrics = {
+            "loss_d": loss_d / accum,
+            "loss_g": adv / accum,
+            "loss_r_sim": sim / accum,
+            "d_real": d_real_m / accum,
+        }
+        metrics = _maybe_pmean(metrics, axis_name)
+        new_state = state.replace(
+            step=state.step + 1,
+            params_g=params_g,
+            params_d=params_d,
+            params_r=params_r,
+            opt_g=opt_g,
+            opt_d=opt_d,
+            opt_r=opt_r,
+        )
+        return new_state, metrics
+
+    return step_accum if accum > 1 else step

@@ -142,6 +142,106 @@ def test_accum_rejects_indivisible_batch():
         jax.jit(step)(state, fake_real_batch(cfg, 8))
 
 
+def test_accum_matches_full_batch_r_separate():
+    """R-separate --grad_accum with the full loss surface on (D-feedback
+    adversarial term + defective-z mining): the mining weights normalize
+    over the WHOLE batch, so they are computed outside the microbatch
+    scan — K=4 must match K=1 exactly."""
+    from gea.cli.train_r_separate import create_r_state
+    from gea.config import TrainRSeparateConfig
+    from gea.models import Reverter
+    from gea.train.steps_r import build_r_separate_step
+
+    results = []
+    for accum in (1, 4):
+        cfg = tiny_cfg()
+        rcfg = TrainRSeparateConfig(
+            image_size=cfg.image_size,
+            code_size=cfg.code_size,
+            r_iterations=cfg.r_iterations,
+            norm="weight",
+            num_features=cfg.num_features,
+            max_features=cfg.max_features,
+            dtype="float32",
+            batch_size=8,
+            g_path="unused",
+            r_hidden=16,
+            lr=2e-3,
+            r_adv_weight=0.3,
+            r_mine_weight=0.5,
+            grad_accum=accum,
+        )
+        g = GeneratorLIS.from_config(rcfg)
+        d = Discriminator.from_config(rcfg)
+        tx = make_optimizer(rcfg.lr, rcfg.beta1, rcfg.beta2)
+        gstate = create_glis_state(rcfg, g, d, tx, tx, 0)
+        frozen_g = {"params": gstate.params_g, **gstate.extras_g}
+        frozen_d = {"params": gstate.params_d, **gstate.extras_d}
+        reverter = Reverter.from_config(rcfg)
+        rstate = create_r_state(rcfg, reverter, tx, 0)
+        step = jax.jit(
+            build_r_separate_step(
+                rcfg, g, reverter, frozen_g, tx,
+                discriminator=d, frozen_d_variables=frozen_d,
+            )
+        )
+        dummy = jnp.zeros((1,))
+        for _ in range(2):
+            rstate, m = step(rstate, dummy)
+        results.append((rstate, m))
+    (s1, m1), (s4, m4) = results
+    for k in m1:
+        np.testing.assert_allclose(
+            float(m1[k]), float(m4[k]), rtol=1e-4, atol=1e-6, err_msg=k
+        )
+    assert_trees_close(s1.params_r, s4.params_r, 5e-6)
+
+
+def test_accum_matches_full_batch_r_iterative():
+    """R-iterative --grad_accum: both phases (D on detached chain renders,
+    joint G+R vs the new D) accumulate exactly."""
+    from gea.config import TrainRIterativeConfig
+    from gea.models import Reverter
+    from gea.train.state import add_reverter
+    from gea.train.steps_r import build_r_iterative_step
+
+    results = []
+    for accum in (1, 4):
+        cfg = TrainRIterativeConfig(
+            image_size=16,
+            code_size=16,
+            norm="weight",
+            num_features=4,
+            max_features=16,
+            dtype="float32",
+            batch_size=8,
+            dataset="synthetic",
+            r_chain_length=2,
+            r_hidden=16,
+            lr=1e-3,
+            grad_accum=accum,
+        )
+        g = GeneratorLIS.from_config(cfg, r_iterations=0)
+        d = Discriminator.from_config(cfg)
+        reverter = Reverter.from_config(cfg)
+        tx = make_optimizer(cfg.lr, cfg.beta1, cfg.beta2)
+        state = create_glis_state(cfg, g, d, tx, tx, 0)
+        state = add_reverter(state, cfg, reverter, tx, 0)
+        step = jax.jit(build_r_iterative_step(cfg, g, d, reverter, tx, tx, tx))
+        real = fake_real_batch(cfg, 8)
+        for _ in range(2):
+            state, m = step(state, real)
+        results.append((state, m))
+    (s1, m1), (s4, m4) = results
+    for k in m1:
+        np.testing.assert_allclose(
+            float(m1[k]), float(m4[k]), rtol=1e-4, atol=1e-6, err_msg=k
+        )
+    assert_trees_close(s1.params_g, s4.params_g, 5e-6)
+    assert_trees_close(s1.params_d, s4.params_d, 5e-6)
+    assert_trees_close(s1.params_r, s4.params_r, 5e-6)
+
+
 @pytest.mark.slow
 def test_accum_composes_with_shard_map():
     """Under the 8-device DP mesh, accum=2 must match accum=1 (same seeds,
