@@ -243,6 +243,27 @@ def test_accum_matches_full_batch_r_iterative():
 
 
 @pytest.mark.slow
+def test_accum_composes_with_chunked_dispatch(tmp_path):
+    """--grad_accum 2 under --steps_per_dispatch 2 (a scan nested inside
+    the dispatch scan) trains end-to-end through the real CLI and resumes."""
+    from gea.cli import train_glis
+
+    run = str(tmp_path / "ga_chunked")
+    args = [
+        "--dataset", "synthetic", "--image_size", "16", "--code_size", "16",
+        "--num_features", "4", "--max_features", "16", "--batch_size", "4",
+        "--dtype", "float32", "--log_interval", "1", "--vis_rows", "2",
+        "--num_devices", "1", "--r_iterations", "1",
+        "--grad_accum", "2", "--steps_per_dispatch", "2",
+        "--vis_interval", "10", "--save_interval", "4", "--save_path", run,
+    ]
+    state, stats = train_glis.main(args + ["--niter", "4"])
+    assert int(state.step) == 4
+    state2, _ = train_glis.main(args + ["--niter", "8"])
+    assert int(state2.step) == 8
+
+
+@pytest.mark.slow
 def test_accum_composes_with_shard_map():
     """Under the 8-device DP mesh, accum=2 must match accum=1 (same seeds,
     same shards): accumulation happens per device BEFORE the pmean, so the
