@@ -61,8 +61,8 @@ def child() -> None:
         msg = str(e)
         row.update(
             ok=False,
-            oom=("RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg.lower()
-                 or "out of memory" in msg),
+            oom=("RESOURCE_EXHAUSTED" in msg or "out of memory" in msg.lower()
+                 or "exceeds the limit" in msg),
             err=msg[:300],
         )
     print(json.dumps(row), flush=True)

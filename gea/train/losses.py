@@ -104,6 +104,8 @@ def gradient_penalty(
     full-batch eps and slices it per microbatch so K>1 stays numerically
     identical to K=1."""
     if eps is None:
+        if rng is None:
+            raise ValueError("gradient_penalty needs either rng or eps")
         eps = jax.random.uniform(rng, (real.shape[0], 1, 1, 1), jnp.float32)
     x_hat = eps * real.astype(jnp.float32) + (1.0 - eps) * fake.astype(
         jnp.float32

@@ -82,10 +82,14 @@ def check_batch(cfg, num_chips: int) -> None:
         )
     accum = max(1, getattr(cfg, "grad_accum", 1))
     if accum > 1:
-        per_device = cfg.batch_size // max(1, num_chips)
+        # The batch is sharded over the DATA axis only: under tensor
+        # parallelism (--model_shards) the per-shard batch is
+        # batch / (devices / model_shards), not batch / devices.
+        data_shards = max(1, num_chips // tp_shards(cfg))
+        per_device = cfg.batch_size // data_shards
         if per_device % accum != 0:
             raise ValueError(
-                f"per-device batch {per_device} must divide by "
+                f"per-data-shard batch {per_device} must divide by "
                 f"--grad_accum {accum}"
             )
 

@@ -46,6 +46,25 @@ def _maybe_pmean(tree: Any, axis_name: Optional[str]) -> Any:
     return lax.pmean(tree, axis_name)
 
 
+def _check_accum(cfg) -> int:
+    """--grad_accum contract, shared by all three trainers: K sequential
+    microbatches per optimizer update, identical math to K=1 at the same
+    batch size (see DESIGN.md §12)."""
+    accum = max(1, int(getattr(cfg, "grad_accum", 1)))
+    if accum > 1 and cfg.norm == "batch":
+        raise ValueError(
+            "--grad_accum > 1 requires --norm weight|none: batch "
+            "statistics would be computed per-microbatch, changing the "
+            "reference's full-batch BatchNorm semantics"
+        )
+    return accum
+
+
+def _split_mb(x: jnp.ndarray, accum: int) -> jnp.ndarray:
+    """(B, ...) -> (K, B/K, ...) microbatch slicing for the accum scan."""
+    return x.reshape(accum, x.shape[0] // accum, *x.shape[1:])
+
+
 def _apply_model(model, params, extras, *args, train: bool, **kw):
     """Apply a flax module, tolerating mutable collections (batch norm)."""
     variables = {"params": params, **extras}
@@ -91,13 +110,7 @@ def build_glis_train_step(
     use_gp = gan_kind == "wgan-gp"
     gp_weight = getattr(cfg, "gp_weight", 10.0)
     ema_decay = getattr(cfg, "g_ema", 0.0)
-    accum = max(1, int(getattr(cfg, "grad_accum", 1)))
-    if accum > 1 and cfg.norm == "batch":
-        raise ValueError(
-            "--grad_accum > 1 requires --norm weight|none: batch "
-            "statistics would be computed per-microbatch, changing the "
-            "reference's full-batch BatchNorm semantics"
-        )
+    accum = _check_accum(cfg)
 
     def step(state: GANTrainState, real: jnp.ndarray):
         batch = real.shape[0]
@@ -310,16 +323,14 @@ def build_glis_train_step(
             else None
         )
 
-        def split_mb(x):
-            return x.reshape(accum, micro, *x.shape[1:])
-
-        xs = {"real": split_mb(real), "z": split_mb(z)}
+        xs = {"real": _split_mb(real, accum), "z": _split_mb(z, accum)}
         if sn is not None:
-            xs["sn"] = split_mb(sn)
+            xs["sn"] = _split_mb(sn, accum)
         if use_gp:
             # Same draw as gradient_penalty's internal one at K=1.
-            xs["eps"] = split_mb(
-                jax.random.uniform(gp_rng, (batch, 1, 1, 1), jnp.float32)
+            xs["eps"] = _split_mb(
+                jax.random.uniform(gp_rng, (batch, 1, 1, 1), jnp.float32),
+                accum,
             )
 
         def gen_images(params_g, z_mb, sn_mb):

@@ -37,28 +37,13 @@ from gea.train.state import GANTrainState
 Metrics = Dict[str, jnp.ndarray]
 
 
+from gea.train.steps import _check_accum, _split_mb  # shared --grad_accum
+
+
 def _maybe_pmean(tree: Any, axis_name: Optional[str]) -> Any:
     if axis_name is None:
         return tree
     return lax.pmean(tree, axis_name)
-
-
-def _check_accum(cfg) -> int:
-    """--grad_accum for the R trainers (same contract as the G-LIS step,
-    gea/train/steps.py): K sequential microbatches per optimizer update,
-    identical math to K=1 at the same batch size."""
-    accum = max(1, int(getattr(cfg, "grad_accum", 1)))
-    if accum > 1 and cfg.norm == "batch":
-        raise ValueError(
-            "--grad_accum > 1 requires --norm weight|none: batch "
-            "statistics would be computed per-microbatch, changing the "
-            "reference's full-batch BatchNorm semantics"
-        )
-    return accum
-
-
-def _split_mb(x: jnp.ndarray, accum: int) -> jnp.ndarray:
-    return x.reshape(accum, x.shape[0] // accum, *x.shape[1:])
 
 
 def build_r_separate_step(

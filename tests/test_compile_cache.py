@@ -50,6 +50,7 @@ def test_cache_populates_and_survives_processes(tmp_path):
 def test_no_env_no_cache_config():
     env = dict(os.environ)
     env.pop("GEA_COMPILE_CACHE", None)
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)  # ambient dev/CI setting
     env["GEA_PLATFORM"] = "cpu"
     out = subprocess.run(
         [

@@ -243,6 +243,57 @@ def test_accum_matches_full_batch_r_iterative():
 
 
 @pytest.mark.slow
+def test_accum_composes_with_tensor_parallelism():
+    """--grad_accum under GSPMD dp x tp (--model_shards): the accum scan is
+    part of the same single-program step that jit partitions, so K=2 must
+    match K=1 on the identical mesh/shardings."""
+    from gea.parallel.mesh import make_mesh
+    from gea.parallel.tp import (
+        make_gspmd_input_step,
+        shard_state,
+        sharded_param_fraction,
+        state_shardings,
+    )
+
+    mesh = make_mesh(8, model_shards=4)
+    real = fake_real_batch(tiny_cfg(), 16)
+    rng = jax.random.PRNGKey(7)
+
+    results = []
+    for accum in (1, 2):
+        cfg = tiny_cfg(batch_size=16, grad_accum=accum)
+        state, step = build(cfg)  # same seed -> identical init
+
+        def with_input(state, raw, r, _step=step):
+            return _step(state, raw)
+
+        sh = state_shardings(state, mesh, min_width=16)
+        assert sharded_param_fraction(sh) > 0
+        pstep = make_gspmd_input_step(with_input, mesh, sh)
+        new_state, metrics = pstep(shard_state(state, sh), real, rng)
+        results.append((new_state, metrics))
+    (s1, m1), (s2, m2) = results
+    for k in m1:
+        np.testing.assert_allclose(
+            float(m1[k]), float(m2[k]), rtol=1e-4, atol=1e-6, err_msg=k
+        )
+    assert_trees_close(s1.params_g, s2.params_g, 2e-5)
+    assert_trees_close(s1.params_d, s2.params_d, 2e-5)
+
+
+def test_check_batch_tp_divides_over_data_axis_only():
+    """check_batch must divide the batch by the DATA axis size, not the
+    full mesh: dp2 x tp4 with batch 16 and --grad_accum 4 is valid (each
+    data shard holds 8), and was falsely rejected when per_device used
+    devices=8."""
+    from gea.train.runner import check_batch
+
+    check_batch(tiny_cfg(batch_size=16, grad_accum=4, model_shards=4), 8)
+    with pytest.raises(ValueError, match="grad_accum"):
+        check_batch(tiny_cfg(batch_size=16, grad_accum=4), 8)
+
+
+@pytest.mark.slow
 def test_accum_composes_with_chunked_dispatch(tmp_path):
     """--grad_accum 2 under --steps_per_dispatch 2 (a scan nested inside
     the dispatch scan) trains end-to-end through the real CLI and resumes."""
