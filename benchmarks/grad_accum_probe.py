@@ -1,16 +1,19 @@
-"""Hardware probe for --grad_accum: where does the flagship-shaped step
-OOM at K=1, and what does accumulation cost/unlock?
+"""Hardware probe for --grad_accum / --remat: where does the
+flagship-shaped step OOM at K=1, and what do accumulation and
+rematerialization cost/unlock?
 
-Grid of (batch, grad_accum) cells over the 160x160 + 4-spatial-noise
-configuration (the documented config-5 shape, docs/RESULTS.md). Every
-cell runs in its OWN subprocess so an OOM (or a wedged tunnel client)
-cannot poison the other cells, and prints one JSON row:
+Grid of (batch, grad_accum[, remat]) cells over the 160x160 +
+4-spatial-noise configuration (the documented config-5 shape,
+docs/RESULTS.md). Every cell runs in its OWN subprocess so an OOM (or a
+wedged tunnel client) cannot poison the other cells, and prints one JSON
+row:
 
-    {"batch": B, "grad_accum": K, "ok": true, "img_s": N}
-    {"batch": B, "grad_accum": K, "ok": false, "oom": true, "err": "..."}
+    {"batch": B, "grad_accum": K, "remat": false, "ok": true, "img_s": N}
+    {"batch": B, ..., "ok": false, "oom": true, "err": "..."}
 
 Usage:  python benchmarks/grad_accum_probe.py            # default grid
-        GEA_GA_GRID="512:1,512:8,1024:8" python benchmarks/grad_accum_probe.py
+        GEA_GA_GRID="512:1,512:8,1024:1:1" python benchmarks/grad_accum_probe.py
+        (cell syntax BATCH:ACCUM or BATCH:ACCUM:REMAT, remat 0/1)
 """
 
 from __future__ import annotations
@@ -38,13 +41,15 @@ def child() -> None:
 
     batch = int(os.environ["GEA_GA_BATCH"])
     accum = int(os.environ["GEA_GA_ACCUM"])
-    row = {"batch": batch, "grad_accum": accum}
+    remat = os.environ.get("GEA_GA_REMAT", "0") == "1"
+    row = {"batch": batch, "grad_accum": accum, "remat": remat}
     try:
         cfg = flagship_config(
             batch,
             image_size=IMAGE,
             spatial_code=4 if IMAGE >= 160 else 0,
             grad_accum=accum,
+            remat=remat,
         )
         state, step = build_flagship_step(cfg)
         real = flagship_real_batch(cfg)
@@ -73,14 +78,19 @@ def main() -> None:
         "GEA_GA_GRID",
         "256:1,256:4,512:1,512:4,1024:1,1024:4,2048:1,2048:8",
     )
-    cells = [tuple(int(x) for x in c.split(":")) for c in grid.split(",") if c]
+    cells = [
+        (tuple(int(x) for x in c.split(":")) + (0,))[:3]
+        for c in grid.split(",")
+        if c
+    ]
     rows = []
-    for batch, accum in cells:
+    for batch, accum, remat in cells:
         env = dict(
             os.environ,
             GEA_GA_CHILD="1",
             GEA_GA_BATCH=str(batch),
             GEA_GA_ACCUM=str(accum),
+            GEA_GA_REMAT=str(remat),
         )
         try:
             r = subprocess.run(
@@ -92,21 +102,33 @@ def main() -> None:
             )
             lines = [ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")]
             row = json.loads(lines[-1]) if lines else {
-                "batch": batch, "grad_accum": accum, "ok": False,
-                "err": (r.stderr or "no output")[-300:],
+                "batch": batch, "grad_accum": accum, "remat": bool(remat),
+                "ok": False, "err": (r.stderr or "no output")[-300:],
             }
         except subprocess.TimeoutExpired:
-            row = {"batch": batch, "grad_accum": accum, "ok": False,
-                   "err": "cell timeout"}
+            row = {"batch": batch, "grad_accum": accum, "remat": bool(remat),
+                   "ok": False, "err": "cell timeout"}
         rows.append(row)
         print(json.dumps(row), flush=True)
     oks = [r for r in rows if r.get("ok")]
     ooms = [r for r in rows if r.get("oom")]
     print(json.dumps({"summary": {
         "image_size": IMAGE,
-        "max_ok_batch_k1": max((r["batch"] for r in oks if r["grad_accum"] == 1), default=0),
-        "max_ok_batch_accum": max((r["batch"] for r in oks if r["grad_accum"] > 1), default=0),
-        "oom_cells": [[r["batch"], r["grad_accum"]] for r in ooms],
+        "max_ok_batch_k1": max(
+            (r["batch"] for r in oks
+             if r["grad_accum"] == 1 and not r.get("remat")),
+            default=0,
+        ),
+        "max_ok_batch_accum": max(
+            (r["batch"] for r in oks if r["grad_accum"] > 1), default=0
+        ),
+        "max_ok_batch_remat": max(
+            (r["batch"] for r in oks if r.get("remat")), default=0
+        ),
+        "oom_cells": [
+            [r["batch"], r["grad_accum"], int(bool(r.get("remat")))]
+            for r in ooms
+        ],
     }}), flush=True)
 
 

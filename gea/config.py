@@ -326,6 +326,15 @@ class TrainGLISConfig(ModelConfig, DataConfig):
         "must divide by K. Composes with data/tensor parallelism and "
         "--steps_per_dispatch (beyond-reference option)",
     )
+    remat: bool = _flag(
+        False,
+        "rematerialize the generator forward (jax.checkpoint): G's "
+        "activations are recomputed during the backward pass instead of "
+        "held live across the D step, trading ~one extra G forward for a "
+        "large activation-memory drop — an alternative/complement to "
+        "--grad_accum for fitting bigger batches or resolutions per chip "
+        "(beyond-reference option)",
+    )
     profile_dir: str = _flag(
         "", "if set, write a jax.profiler trace for steps 10..15 here"
     )
@@ -474,6 +483,14 @@ class TrainRConfig(ModelConfig, DataConfig):
         "identical to K=1 at the same --batch_size, ~K x lower "
         "activation memory. Requires --norm weight|none; the per-device "
         "batch must divide by K (beyond-reference option)",
+    )
+    remat: bool = _flag(
+        False,
+        "rematerialize forward segments (jax.checkpoint): R-iterative "
+        "checkpoints each chain link (activation memory drops ~chain-"
+        "length x), R-separate checkpoints the reverter forward and the "
+        "corrected frozen-G render; extra recompute buys a large "
+        "activation-memory drop (beyond-reference option)",
     )
     use_pallas: bool = _flag(
         False,

@@ -111,6 +111,7 @@ def build_glis_train_step(
     gp_weight = getattr(cfg, "gp_weight", 10.0)
     ema_decay = getattr(cfg, "g_ema", 0.0)
     accum = _check_accum(cfg)
+    remat = bool(getattr(cfg, "remat", False))
 
     def step(state: GANTrainState, real: jnp.ndarray):
         batch = real.shape[0]
@@ -152,6 +153,13 @@ def build_glis_train_step(
                 )
                 return images
 
+            if remat:
+                # --remat: the vjp residuals of the G forward would
+                # otherwise stay live across the whole D step (the largest
+                # cross-segment liveness in the step); jax.checkpoint makes
+                # the residuals just the inputs and recomputes G's forward
+                # inside g_pullback instead.
+                g_images = jax.checkpoint(g_images)
             fakes_live, g_pullback = jax.vjp(g_images, state.params_g)
         else:
             fakes_live, _zs = _apply_model(
@@ -234,7 +242,7 @@ def build_glis_train_step(
             extras_g = state.extras_g
         else:
 
-            def g_loss_fn(params_g):
+            def gen_fwd(params_g):
                 (images, _), new_extras_g = _apply_model(
                     generator,
                     params_g,
@@ -243,6 +251,13 @@ def build_glis_train_step(
                     train=True,
                     spatial_noise=sn,
                 )
+                return images, new_extras_g
+
+            if remat:
+                gen_fwd = jax.checkpoint(gen_fwd)
+
+            def g_loss_fn(params_g):
+                images, new_extras_g = gen_fwd(params_g)
                 flat = images.reshape(-1, *images.shape[2:])
                 logits, _ = _apply_model(
                     discriminator, params_d, extras_d, flat, train=True
@@ -343,6 +358,9 @@ def build_glis_train_step(
                 spatial_noise=sn_mb,
             )
             return images  # (S, micro, H, W, 3)
+
+        if remat:
+            gen_images = jax.checkpoint(gen_images)
 
         # ------------------------------------------ D grads, accumulated
         def d_micro(x):

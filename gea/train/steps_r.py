@@ -80,6 +80,26 @@ def build_r_separate_step(
         and cfg.r_mine_weight > 0
     )
     accum = _check_accum(cfg)
+    remat = bool(getattr(cfg, "remat", False))
+
+    def corr_render(z_pred, sn):
+        """The D-feedback segment: corrected code -> frozen G render ->
+        frozen D logits. Under --remat this whole segment is
+        rematerialized, so its conv activations are not live at the same
+        time as the reverter's own backward residuals."""
+        corr_images, _ = generator.apply(
+            frozen_g_variables,
+            z_pred,
+            spatial_noise=sn,
+            train=False,
+            render_all_stages=True,
+        )
+        return discriminator.apply(
+            frozen_d_variables, corr_images[-1], train=False
+        )
+
+    if remat:
+        corr_render = jax.checkpoint(corr_render)
 
     def step(state: GANTrainState, _unused: jnp.ndarray):
         batch = cfg.batch_size
@@ -152,16 +172,7 @@ def build_r_separate_step(
                 # spatial_code generator REQUIRES it (generator.apply
                 # raises without it), and reusing sn isolates the z
                 # correction as the only change between the two renders.
-                corr_images, _ = generator.apply(
-                    frozen_g_variables,
-                    z_pred,
-                    spatial_noise=sn,
-                    train=False,
-                    render_all_stages=True,
-                )
-                logits_corr = discriminator.apply(
-                    frozen_d_variables, corr_images[-1], train=False
-                )
+                logits_corr = corr_render(z_pred, sn)
                 loss_adv = losses.g_adv_loss(logits_corr)
                 loss = loss + cfg.r_adv_weight * loss_adv
             return loss, (new_extras, z_pred, loss_mse, loss_adv)
@@ -262,16 +273,7 @@ def build_r_separate_step(
                 loss = cfg.r_mse_weight * loss_mse
                 loss_adv = jnp.float32(0.0)
                 if use_adv:
-                    corr_images, _ = generator.apply(
-                        frozen_g_variables,
-                        z_pred,
-                        spatial_noise=x.get("sn"),
-                        train=False,
-                        render_all_stages=True,
-                    )
-                    logits_corr = discriminator.apply(
-                        frozen_d_variables, corr_images[-1], train=False
-                    )
+                    logits_corr = corr_render(z_pred, x.get("sn"))
                     loss_adv = losses.g_adv_loss(logits_corr)
                     loss = loss + cfg.r_adv_weight * loss_adv
                 return loss, (z_pred, loss_mse, loss_adv)
@@ -333,30 +335,49 @@ def build_r_iterative_step(
     raw_w = [0.5 + 0.5 * i / max(1, n_links - 1) for i in range(n_links)]
     weights = tuple(w / sum(raw_w) for w in raw_w)
     accum = _check_accum(cfg)
+    remat = bool(getattr(cfg, "remat", False))
 
     def unroll(params_g, extras_g, params_r, extras_r, z0, sn):
         """Chain: z_t = z_{t-1} + R(img_{t-1}); returns stacked images
         (T+1, B, H, W, 3), zs (T+1, B, code) and the updated mutable
         collections (batch_stats when --norm batch; no-ops otherwise —
-        G and R are both being trained, so their statistics must track)."""
+        G and R are both being trained, so their statistics must track).
+
+        Under --remat each chain link (R encode + G render) is wrapped in
+        jax.checkpoint: only the link boundaries (z_t, img_t) stay live
+        across the unroll, and each link's conv activations are recomputed
+        during its own backward — activation memory drops ~(T+1) x at the
+        cost of one extra forward per link."""
         from gea.train.steps import _apply_model
 
-        zs = [z0]
-        (imgs0, _), extras_g = _apply_model(
-            generator, params_g, extras_g, z0, train=True, spatial_noise=sn
-        )
-        imgs = [imgs0[0]]  # (B, H, W, 3): single-stage generator
-        for _ in range(cfg.r_chain_length):
-            delta, extras_r = _apply_model(
-                reverter, params_r, extras_r, imgs[-1], train=True
-            )
-            z_next = zs[-1] + delta
-            zs.append(z_next)
-            (img_n, _), extras_g = _apply_model(
-                generator, params_g, extras_g, z_next, train=True,
+        def render(params_g, extras_g, z, sn):
+            (img, _), extras_g = _apply_model(
+                generator, params_g, extras_g, z, train=True,
                 spatial_noise=sn,
             )
-            imgs.append(img_n[0])
+            return img[0], extras_g  # (B, H, W, 3): single-stage generator
+
+        def link(params_g, params_r, extras_g, extras_r, z_prev, img_prev, sn):
+            delta, extras_r = _apply_model(
+                reverter, params_r, extras_r, img_prev, train=True
+            )
+            z_next = z_prev + delta
+            img_next, extras_g = render(params_g, extras_g, z_next, sn)
+            return z_next, img_next, extras_g, extras_r
+
+        if remat:
+            render = jax.checkpoint(render)
+            link = jax.checkpoint(link)
+
+        img0, extras_g = render(params_g, extras_g, z0, sn)
+        zs = [z0]
+        imgs = [img0]
+        for _ in range(cfg.r_chain_length):
+            z_next, img_next, extras_g, extras_r = link(
+                params_g, params_r, extras_g, extras_r, zs[-1], imgs[-1], sn
+            )
+            zs.append(z_next)
+            imgs.append(img_next)
         return jnp.stack(imgs), jnp.stack(zs), extras_g, extras_r
 
     def step(state: GANTrainState, real: jnp.ndarray):

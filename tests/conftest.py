@@ -31,6 +31,16 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    """tpu-marked tests need the real chip (GEA_TEST_PLATFORM=tpu)."""
+    if os.environ["JAX_PLATFORMS"] not in ("cpu",):
+        return
+    skip = pytest.mark.skip(reason="needs real TPU; set GEA_TEST_PLATFORM")
+    for item in items:
+        if "tpu" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
