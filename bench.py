@@ -17,6 +17,8 @@ are also timed (skippable with GEA_BENCH_VARIANTS=""):
 * ``g_two_forward`` — the pre-r2 step structure that re-runs G's forward in
   the G step instead of reusing the saved vjp residuals (attribution probe
   for the r01->r02 throughput delta)
+* ``remat`` — the --remat path (jax.checkpoint around G's forward): the
+  throughput cost of the ~2x peak-memory drop, at the bench config
 
 `vs_baseline` compares against the measured PyTorch reference throughput in
 BASELINE_MEASURED.json (produced by benchmarks/torch_reference.py — the
@@ -46,10 +48,12 @@ BATCH = int(os.environ.get("GEA_BENCH_BATCH", "256"))
 WARMUP = 3
 STEPS = int(os.environ.get("GEA_BENCH_STEPS", "20"))
 REPS = int(os.environ.get("GEA_BENCH_REPS", "5"))
-VARIANTS = os.environ.get("GEA_BENCH_VARIANTS", "pallas,g_two_forward")
+VARIANTS = os.environ.get("GEA_BENCH_VARIANTS", "pallas,g_two_forward,remat")
 
 
-def time_config(use_pallas: bool, share_g_forward, reps: int) -> dict:
+def time_config(
+    use_pallas: bool, share_g_forward, reps: int, **cfg_overrides
+) -> dict:
     """Median/spread over `reps` timing repetitions of STEPS steps each.
 
     The workload definition is shared with ab_step.py/mfu_probe.py
@@ -61,7 +65,7 @@ def time_config(use_pallas: bool, share_g_forward, reps: int) -> dict:
         flagship_real_batch,
     )
 
-    cfg = flagship_config(BATCH, use_pallas=use_pallas)
+    cfg = flagship_config(BATCH, use_pallas=use_pallas, **cfg_overrides)
     state, step = build_flagship_step(cfg, share_g_forward=share_g_forward)
     real = flagship_real_batch(cfg)
 
@@ -110,6 +114,11 @@ def main() -> None:
         elif name == "g_two_forward":
             variants["g_two_forward"] = time_config(
                 use_pallas=False, share_g_forward=False, reps=max(3, REPS - 2)
+            )
+        elif name == "remat":
+            variants["remat"] = time_config(
+                use_pallas=False, share_g_forward=None,
+                reps=max(3, REPS - 2), remat=True,
             )
 
     baseline = 0.0

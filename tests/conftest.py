@@ -25,7 +25,12 @@ import jax  # noqa: E402
 # The environment's sitecustomize imports jax before conftest runs, so the
 # env var alone is too late — update the live config too.
 jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-jax.config.update("jax_default_matmul_precision", "highest")
+if os.environ["JAX_PLATFORMS"] == "cpu":
+    # Deterministic f32 matmuls for the torch-parity tolerances. CPU-only:
+    # on the tunneled TPU (GEA_TEST_PLATFORM=axon) precision=highest blows
+    # the step compile up from ~30s to >400s (3-pass emulation), wedging
+    # any tpu-marked test.
+    jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -225,11 +225,15 @@ def test_remat_recomputes_generator_forward():
 
 
 @pytest.mark.tpu
-def test_remat_reduces_compiled_temp_memory_tpu():
-    """On the real TPU compiler, remat must shrink the step's temp
-    allocation (the whole point of the flag)."""
-    temps = {}
+def test_remat_reduces_compiled_peak_memory_tpu():
+    """On the real TPU compiler, remat must shrink the step's peak
+    allocation (the whole point of the flag). Uses peak_memory_in_bytes:
+    the tunneled axon runtime reports temp_size_in_bytes=0, but peak is
+    populated (measured 297 MB -> 138 MB at batch 256 / 64x64)."""
+    peaks = {}
     for remat in (False, True):
         compiled = _lowered(remat).compile()
-        temps[remat] = int(compiled.memory_analysis().temp_size_in_bytes)
-    assert temps[True] < temps[False], temps
+        ma = compiled.memory_analysis()
+        peaks[remat] = int(ma.peak_memory_in_bytes)
+    assert peaks[False] > 0, peaks
+    assert peaks[True] < peaks[False], peaks
