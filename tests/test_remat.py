@@ -203,6 +203,36 @@ def test_remat_matches_plain_r_iterative():
     assert_trees_close(s0.params_r, s1.params_r, 5e-6)
 
 
+def test_remat_composes_with_shard_map():
+    """Under the 8-device DP mesh, --remat must match the plain step on
+    identical shards: checkpointing changes where activations come from,
+    never the per-device gradients entering the pmean."""
+    from gea.parallel import make_mesh, make_parallel_step, shard_batch
+    from gea.parallel.dp import replicate_state
+    from gea.parallel.mesh import DATA_AXIS
+
+    mesh = make_mesh(8)
+    real = fake_real_batch(tiny_cfg(), 16)
+
+    results = []
+    for remat in (False, True):
+        cfg = tiny_cfg(batch_size=16, remat=remat)
+        state, step = build(cfg, axis_name=DATA_AXIS)
+        pstep = make_parallel_step(step, mesh)
+        new_state, metrics = pstep(
+            replicate_state(state, mesh), shard_batch(real, mesh)
+        )
+        results.append((new_state, metrics))
+    (s0, m0), (s1, m1) = results
+    np.testing.assert_allclose(
+        float(m0["loss_d"]), float(m1["loss_d"]), rtol=1e-5
+    )
+    assert_trees_close(s0.params_g, s1.params_g, 5e-6)
+    assert_trees_close(s0.params_d, s1.params_d, 5e-6)
+    for leaf in jax.tree_util.tree_leaves(s1.params_g):
+        assert leaf.sharding.is_fully_replicated
+
+
 def _lowered(remat):
     cfg = tiny_cfg(remat=remat, image_size=64, code_size=64, num_features=16,
                    max_features=64, batch_size=32, r_iterations=3)
