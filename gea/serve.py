@@ -12,6 +12,8 @@ the whole training codebase into production.
     model = serve.load("exports/glis3_80")
     out = model(z)                      # dict: images[, stages][, scores]
     imgs = model.sample(64, seed=0)["images"]   # uint8 (64, H, W, 3)
+    best = model.sample_filtered(64, oversample=4)   # error-avoidance: top
+    ...                                 # 64 of 256 candidates by D score
     for out in model.stream(z_batches):         # pipelined production path
         ...                             # ~70x one-at-a-time on a remote chip
 
@@ -204,6 +206,77 @@ class ServingModel:
             out[k] = out[k][tuple(slice(None) for _ in range(axis)) + (slice(0, count),)]
         return out
 
+    def sample_filtered(
+        self,
+        count: int,
+        seed: int = 0,
+        batch_size: int = 64,
+        oversample: int = 4,
+        threshold: float = 0.0,
+        max_rounds: int = 20,
+    ) -> Dict[str, np.ndarray]:
+        """Error-avoidance sampling at the deployment surface (reference
+        C13, `g_lis/sample.py` --d_filter, SURVEY.md §3.2): render
+        ``oversample * count`` candidates, score each with the bundled
+        discriminator, and return the ``count`` most-realistic samples
+        sorted by descending D score. With ``threshold`` > 0 it becomes
+        rejection sampling: candidate rounds are drawn until ``count``
+        clear the absolute score cutoff (bounded by ``max_rounds``; a
+        shortfall is filled from the best rejects with a notice — the
+        same contract as ``gea.cli.sample --d_threshold``). Memory stays
+        bounded at ~(count + oversample*count) samples regardless of
+        rounds. Requires an artifact exported ``--with_scores``; the
+        absolute cutoff assumes BCE-calibrated sigmoid scores (for
+        hinge/WGAN-trained runs the top-k ranking still holds, the
+        threshold semantics do not).
+        """
+        if "scores" not in self.manifest.get("outputs", ()):
+            raise ValueError(
+                "artifact carries no discriminator scores; re-export the "
+                "run with --with_scores 1 to enable filtered sampling"
+            )
+        if count < 1:
+            raise ValueError(f"count must be >= 1, got {count}")
+        if oversample < 1:
+            raise ValueError(f"oversample must be >= 1, got {oversample}")
+
+        def take(out: Dict[str, np.ndarray], idx) -> Dict[str, np.ndarray]:
+            return {
+                k: (v[:, idx] if k == "stages" else v[idx])
+                for k, v in out.items()
+            }
+
+        def cat(a: Dict[str, np.ndarray], b: Dict[str, np.ndarray]):
+            return {
+                k: np.concatenate(
+                    [a[k], b[k]], axis=1 if k == "stages" else 0
+                )
+                for k in a
+            }
+
+        n_cand = int(count * oversample)
+        max_rounds = 1 if threshold <= 0 else max_rounds
+        best: Optional[Dict[str, np.ndarray]] = None
+        rounds = 0
+        for r in range(max_rounds):
+            out = self.sample(n_cand, seed=seed + r, batch_size=batch_size)
+            best = out if best is None else cat(best, out)
+            order = np.argsort(best["scores"])[::-1][:count]
+            best = take(best, order)
+            rounds = r + 1
+            if threshold <= 0 or (best["scores"] >= threshold).all():
+                break
+        assert best is not None
+        if threshold > 0:
+            cleared = int((best["scores"] >= threshold).sum())
+            if cleared < count:
+                print(
+                    f"[gea.serve] d_threshold={threshold}: only "
+                    f"{cleared}/{count} candidates cleared it after "
+                    f"{rounds} rounds; filling from the best rejects"
+                )
+        return best
+
 
 class DataParallelServingModel(ServingModel):
     """A ServingModel whose renders are sharded over a device mesh.
@@ -298,12 +371,34 @@ def _main(argv=None) -> None:
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--rows", type=int, default=8)
     p.add_argument("--out", default="serve_samples")
+    p.add_argument(
+        "--d_filter", type=int, default=0,
+        help="error-avoidance serving: render --oversample x count "
+        "candidates, keep the top count by the bundled D score "
+        "(artifact must be exported --with_scores)",
+    )
+    p.add_argument(
+        "--oversample", type=int, default=4,
+        help="candidate multiplier for --d_filter",
+    )
+    p.add_argument(
+        "--d_threshold", type=float, default=0.0,
+        help="with --d_filter: absolute-score rejection sampling — keep "
+        "redrawing until count samples clear this sigmoid-D cutoff "
+        "(BCE-calibrated scores; top-k ranking is objective-agnostic)",
+    )
     a = p.parse_args(argv)
 
     if a.rows < 1:
         raise SystemExit(f"--rows must be >= 1, got {a.rows}")
     model = load(a.artifact)
-    out = model.sample(a.count, seed=a.seed, batch_size=a.batch_size)
+    if a.d_filter:
+        out = model.sample_filtered(
+            a.count, seed=a.seed, batch_size=a.batch_size,
+            oversample=a.oversample, threshold=a.d_threshold,
+        )
+    else:
+        out = model.sample(a.count, seed=a.seed, batch_size=a.batch_size)
     os.makedirs(a.out, exist_ok=True)
 
     # One grid-layout implementation for the whole package (numpy+PIL

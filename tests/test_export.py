@@ -359,3 +359,67 @@ def test_sharded_serving_matches_single_device(glis_run, tmp_path):
     with pytest.raises(ValueError, match="divisible"):
         model.sharded()
     model.manifest["batch"] = 0
+
+
+@pytest.mark.slow
+def test_sample_filtered_error_avoidance(glis_run, tmp_path, capsys):
+    """Error-avoidance serving (reference C13 at the deployment surface):
+    sample_filtered keeps the top-count candidates by bundled-D score,
+    exactly matching a hand-selected top-k over the same candidate draw;
+    threshold mode redraws and reports a shortfall honestly."""
+    from gea import serve
+    from gea.cli import export_model
+
+    out = str(tmp_path / "art")
+    export_model.main(
+        ["--load_path", glis_run, "--out", out, "--with_scores", "1",
+         "--all_stages", "1", "--platforms", "cpu", "--selfcheck", "0"]
+    )
+    model = serve.load(out)
+
+    # Top-k mode == exact top-k of the identical candidate draw.
+    got = model.sample_filtered(6, seed=3, oversample=3, batch_size=4)
+    cand = model.sample(18, seed=3, batch_size=4)
+    want = np.sort(cand["scores"])[::-1][:6]
+    np.testing.assert_allclose(got["scores"], want, rtol=1e-6)
+    assert got["images"].shape == (6, 16, 16, 3)
+    assert got["stages"].shape[1] == 6
+    # images travel with their scores: re-score check via exact match
+    # against the candidate at the same rank
+    top_idx = np.argsort(cand["scores"])[::-1][:6]
+    np.testing.assert_array_equal(got["images"], cand["images"][top_idx])
+
+    # Impossible threshold: bounded rounds, shortfall filled + reported.
+    got = model.sample_filtered(
+        4, seed=0, oversample=2, batch_size=4, threshold=1.1, max_rounds=2
+    )
+    assert got["images"].shape[0] == 4
+    assert "filling from the best rejects" in capsys.readouterr().out
+
+    # Achievable threshold: everything returned clears it.
+    floor = float(np.median(cand["scores"]))
+    got = model.sample_filtered(
+        4, seed=1, oversample=3, batch_size=4, threshold=floor
+    )
+    assert (got["scores"] >= floor).all()
+
+    # Validation: bad args + artifact without scores.
+    with pytest.raises(ValueError):
+        model.sample_filtered(0)
+    with pytest.raises(ValueError):
+        model.sample_filtered(4, oversample=0)
+    out_ns = str(tmp_path / "art_noscores")
+    export_model.main(
+        ["--load_path", glis_run, "--out", out_ns, "--platforms", "cpu",
+         "--selfcheck", "0", "--with_scores", "0"]
+    )
+    with pytest.raises(ValueError, match="with_scores"):
+        serve.load(out_ns).sample_filtered(4)
+
+    # CLI surface: --d_filter writes the kept (sorted-desc) scores.
+    cli_out = str(tmp_path / "cli_filtered")
+    serve._main([out, "--count", "5", "--batch_size", "4", "--rows", "5",
+                 "--d_filter", "1", "--oversample", "2", "--out", cli_out])
+    with open(os.path.join(cli_out, "scores.json")) as f:
+        scores = json.load(f)
+    assert len(scores) == 5 and scores == sorted(scores, reverse=True)
