@@ -120,7 +120,9 @@ def main() -> None:
             default=0,
         ),
         "max_ok_batch_accum": max(
-            (r["batch"] for r in oks if r["grad_accum"] > 1), default=0
+            (r["batch"] for r in oks
+             if r["grad_accum"] > 1 and not r.get("remat")),
+            default=0,
         ),
         "max_ok_batch_remat": max(
             (r["batch"] for r in oks if r.get("remat")), default=0

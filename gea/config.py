@@ -488,9 +488,10 @@ class TrainRConfig(ModelConfig, DataConfig):
         False,
         "rematerialize forward segments (jax.checkpoint): R-iterative "
         "checkpoints each chain link (activation memory drops ~chain-"
-        "length x), R-separate checkpoints the reverter forward and the "
-        "corrected frozen-G render; extra recompute buys a large "
-        "activation-memory drop (beyond-reference option)",
+        "length x), R-separate checkpoints the corrected frozen-G render "
+        "+ frozen-D scoring (the conv-heavy D-feedback segment; the "
+        "reverter's own residuals stay live); extra recompute buys a "
+        "large activation-memory drop (beyond-reference option)",
     )
     use_pallas: bool = _flag(
         False,

@@ -239,6 +239,20 @@ class ServingModel:
             raise ValueError(f"count must be >= 1, got {count}")
         if oversample < 1:
             raise ValueError(f"oversample must be >= 1, got {oversample}")
+        if max_rounds < 1:
+            raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+        gan_loss = self.manifest.get("gan_loss", "bce")
+        if threshold > 0 and gan_loss != "bce":
+            # Same calibration contract as gea.cli.sample (ADVICE r2): a
+            # hinge/WGAN discriminator emits uncalibrated margins, so an
+            # absolute sigmoid cutoff is not a probability. Ranking
+            # (top-k) is unaffected.
+            print(
+                f"[gea.serve] warning: artifact was trained with gan_loss="
+                f"{gan_loss}; its scores are sigmoid(margin), not "
+                f"calibrated probabilities — d_threshold={threshold} is "
+                "an arbitrary cutoff (top-k ranking is unaffected)"
+            )
 
         def take(out: Dict[str, np.ndarray], idx) -> Dict[str, np.ndarray]:
             return {
@@ -391,6 +405,11 @@ def _main(argv=None) -> None:
 
     if a.rows < 1:
         raise SystemExit(f"--rows must be >= 1, got {a.rows}")
+    if not a.d_filter and (a.d_threshold > 0 or a.oversample != 4):
+        raise SystemExit(
+            "--d_threshold/--oversample only apply with --d_filter 1 "
+            "(refusing to silently return unfiltered samples)"
+        )
     model = load(a.artifact)
     if a.d_filter:
         out = model.sample_filtered(

@@ -360,7 +360,10 @@ def build_glis_train_step(
             return images  # (S, micro, H, W, 3)
 
         if remat:
-            gen_images = jax.checkpoint(gen_images)
+            # prevent_cse=False: the rematerialized calls sit inside
+            # lax.scan bodies (d_body/g_body), where JAX documents the
+            # CSE-prevention barrier as unnecessary overhead.
+            gen_images = jax.checkpoint(gen_images, prevent_cse=False)
 
         # ------------------------------------------ D grads, accumulated
         def d_micro(x):

@@ -99,7 +99,14 @@ def build_r_separate_step(
         )
 
     if remat:
-        corr_render = jax.checkpoint(corr_render)
+        # Two wrappings of the same segment: the full-batch path calls it
+        # under plain jit (CSE prevention required for remat to survive),
+        # the --grad_accum path calls it inside a lax.scan body, where
+        # JAX documents the CSE barrier as unnecessary overhead.
+        corr_render_full = jax.checkpoint(corr_render)
+        corr_render_micro = jax.checkpoint(corr_render, prevent_cse=False)
+    else:
+        corr_render_full = corr_render_micro = corr_render
 
     def step(state: GANTrainState, _unused: jnp.ndarray):
         batch = cfg.batch_size
@@ -172,7 +179,7 @@ def build_r_separate_step(
                 # spatial_code generator REQUIRES it (generator.apply
                 # raises without it), and reusing sn isolates the z
                 # correction as the only change between the two renders.
-                logits_corr = corr_render(z_pred, sn)
+                logits_corr = corr_render_full(z_pred, sn)
                 loss_adv = losses.g_adv_loss(logits_corr)
                 loss = loss + cfg.r_adv_weight * loss_adv
             return loss, (new_extras, z_pred, loss_mse, loss_adv)
@@ -273,7 +280,7 @@ def build_r_separate_step(
                 loss = cfg.r_mse_weight * loss_mse
                 loss_adv = jnp.float32(0.0)
                 if use_adv:
-                    logits_corr = corr_render(z_pred, x.get("sn"))
+                    logits_corr = corr_render_micro(z_pred, x.get("sn"))
                     loss_adv = losses.g_adv_loss(logits_corr)
                     loss = loss + cfg.r_adv_weight * loss_adv
                 return loss, (z_pred, loss_mse, loss_adv)

@@ -408,6 +408,23 @@ def test_sample_filtered_error_avoidance(glis_run, tmp_path, capsys):
         model.sample_filtered(0)
     with pytest.raises(ValueError):
         model.sample_filtered(4, oversample=0)
+    with pytest.raises(ValueError):
+        model.sample_filtered(4, threshold=0.5, max_rounds=0)
+
+    # Non-BCE artifacts: absolute threshold warns (uncalibrated margins,
+    # ADVICE r2 contract mirrored from gea.cli.sample); top-k stays quiet.
+    model.manifest["gan_loss"] = "hinge"
+    capsys.readouterr()
+    model.sample_filtered(2, seed=5, oversample=2, batch_size=4,
+                          threshold=0.5, max_rounds=1)
+    assert "sigmoid(margin)" in capsys.readouterr().out
+    model.sample_filtered(2, seed=5, oversample=2, batch_size=4)
+    assert "calibrated" not in capsys.readouterr().out
+    model.manifest["gan_loss"] = "bce"
+
+    # CLI: filter modifiers without --d_filter are refused, not ignored.
+    with pytest.raises(SystemExit, match="d_filter"):
+        serve._main([out, "--count", "4", "--d_threshold", "0.5"])
     out_ns = str(tmp_path / "art_noscores")
     export_model.main(
         ["--load_path", glis_run, "--out", out_ns, "--platforms", "cpu",

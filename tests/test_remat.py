@@ -114,14 +114,18 @@ def test_remat_composes_with_grad_accum():
     assert_trees_close(s0.params_d, s1.params_d, 5e-6)
 
 
-def test_remat_matches_plain_r_separate():
+@pytest.mark.parametrize("grad_accum", [1, 2])
+def test_remat_matches_plain_r_separate(grad_accum):
     """R-separate remat wraps the corrected frozen-G render (the
-    D-feedback segment, the memory hog of this trainer)."""
+    D-feedback segment, the memory hog of this trainer) — on both the
+    full-batch path and the --grad_accum scan path (which uses the
+    prevent_cse=False wrapping)."""
     from gea.cli.train_r_separate import create_r_state
 
     results = []
     for remat in (False, True):
         rcfg = TrainRSeparateConfig(
+            grad_accum=grad_accum if remat else 1,
             image_size=16,
             code_size=16,
             r_iterations=1,
