@@ -35,6 +35,49 @@ ARTIFACT = "model.stablehlo"
 MANIFEST = "manifest.json"
 
 
+def _take(out: Dict[str, np.ndarray], idx) -> Dict[str, np.ndarray]:
+    """Select candidate indices from a render dict (stages are (S, B, ...))."""
+    return {
+        k: (v[:, idx] if k == "stages" else v[idx]) for k, v in out.items()
+    }
+
+
+def _cat(a: Dict[str, np.ndarray], b: Dict[str, np.ndarray]):
+    return {
+        k: np.concatenate([a[k], b[k]], axis=1 if k == "stages" else 0)
+        for k in a
+    }
+
+
+def topk_rounds(
+    draw,
+    count: int,
+    threshold: float = 0.0,
+    max_rounds: int = 1,
+):
+    """Error-avoidance selection core shared by `ServingModel.
+    sample_filtered` and the HTTP server: call ``draw(round)`` for fresh
+    candidate dicts (must contain "scores"), keep a running top-``count``
+    by descending score, and stop once every kept sample clears
+    ``threshold`` (or after ``max_rounds``). Memory stays bounded at
+    ~(count + one draw) regardless of rounds. Returns (best, rounds_run);
+    ``best`` is sorted by descending score."""
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    best: Optional[Dict[str, np.ndarray]] = None
+    rounds = 0
+    for r in range(1 if threshold <= 0 else max_rounds):
+        out = draw(r)
+        best = out if best is None else _cat(best, out)
+        order = np.argsort(best["scores"])[::-1][:count]
+        best = _take(best, order)
+        rounds = r + 1
+        if threshold <= 0 or (best["scores"] >= threshold).all():
+            break
+    assert best is not None
+    return best, rounds
+
+
 def write_artifact(out_dir: str, payload: bytes, manifest: Dict[str, Any]) -> None:
     """Write the serialized program + manifest (used by the export CLI)."""
     os.makedirs(out_dir, exist_ok=True)
@@ -254,33 +297,13 @@ class ServingModel:
                 "an arbitrary cutoff (top-k ranking is unaffected)"
             )
 
-        def take(out: Dict[str, np.ndarray], idx) -> Dict[str, np.ndarray]:
-            return {
-                k: (v[:, idx] if k == "stages" else v[idx])
-                for k, v in out.items()
-            }
-
-        def cat(a: Dict[str, np.ndarray], b: Dict[str, np.ndarray]):
-            return {
-                k: np.concatenate(
-                    [a[k], b[k]], axis=1 if k == "stages" else 0
-                )
-                for k in a
-            }
-
         n_cand = int(count * oversample)
-        max_rounds = 1 if threshold <= 0 else max_rounds
-        best: Optional[Dict[str, np.ndarray]] = None
-        rounds = 0
-        for r in range(max_rounds):
-            out = self.sample(n_cand, seed=seed + r, batch_size=batch_size)
-            best = out if best is None else cat(best, out)
-            order = np.argsort(best["scores"])[::-1][:count]
-            best = take(best, order)
-            rounds = r + 1
-            if threshold <= 0 or (best["scores"] >= threshold).all():
-                break
-        assert best is not None
+        best, rounds = topk_rounds(
+            lambda r: self.sample(n_cand, seed=seed + r, batch_size=batch_size),
+            count,
+            threshold=threshold,
+            max_rounds=max_rounds,
+        )
         if threshold > 0:
             cleared = int((best["scores"] >= threshold).sum())
             if cleared < count:

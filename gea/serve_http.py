@@ -20,13 +20,20 @@ splits the outputs back per request.
                    {"count": 16, "seed": 7}             server-drawn codes
                    optional "format": "png_b64" (default) | "array"
                    optional "spatial_noise": [...]      --spatial_code runs
+                   optional "oversample": 4             error-avoidance: the
+                   optional "d_threshold": 0.7          server renders extra
+                   optional "max_rounds": 8             candidates and keeps
+                                                        the top count by D
     GET  /healthz  manifest summary
     GET  /stats    request/batch counters incl. realized batch sizes
 
 Responses are JSON: images as per-sample base64 PNGs (or nested uint8
-arrays), plus "scores" when the artifact carries the discriminator —
-so an error-avoidance client can keep only high-realism renders
-(reference C13) without any model code.
+arrays), plus "scores" when the artifact carries the discriminator.
+Error-avoidance serving (reference C13) is server-side: "oversample"/
+"d_threshold" on a count request draw extra candidates through the same
+dynamic batcher (chunked to max_batch, coalescing with other traffic)
+and return only the most-realistic `count`, with a "filter" summary
+({oversample, rounds[, d_threshold, cleared]}) in the response.
 """
 
 from __future__ import annotations
@@ -300,6 +307,47 @@ class DynamicBatcher:
         return out
 
 
+def _filtered_render(
+    batcher: DynamicBatcher,
+    model,
+    count: int,
+    rng: np.random.Generator,
+    oversample: int,
+    threshold: float,
+    max_rounds: int,
+):
+    """Error-avoidance candidate rounds THROUGH the batcher: each round
+    draws oversample*count codes, submits them in max_batch-sized chunks
+    (so they coalesce with concurrent traffic), and serve.topk_rounds
+    keeps the running top-count by D score."""
+    n_cand = count * oversample
+    sn_shape = model.spatial_noise_shape
+
+    def draw(_round):
+        outs = []
+        remaining = n_cand
+        while remaining:
+            n = min(remaining, batcher.max_batch)
+            z = rng.standard_normal((n, model.code_size)).astype(np.float32)
+            sn = (
+                rng.standard_normal((n, *sn_shape)).astype(np.float32)
+                if sn_shape is not None
+                else None
+            )
+            outs.append(batcher.submit(z, sn))
+            remaining -= n
+        return {
+            k: np.concatenate(
+                [o[k] for o in outs], axis=1 if k == "stages" else 0
+            )
+            for k in outs[0]
+        }
+
+    return serve.topk_rounds(
+        draw, count, threshold=threshold, max_rounds=max_rounds
+    )
+
+
 # ===================================================================== http
 
 
@@ -394,6 +442,45 @@ class _Handler(BaseHTTPRequestHandler):
                 )
             if ("z" in req) == ("count" in req):
                 raise ValueError("pass exactly one of 'z' or 'count'")
+            oversample = req.get("oversample")
+            threshold = float(req.get("d_threshold") or 0.0)
+            filtering = oversample is not None or threshold > 0
+            filter_info: Optional[Dict[str, Any]] = None
+            if filtering:
+                # Error-avoidance serving (reference C13 over HTTP): the
+                # server draws oversample*count candidates THROUGH the
+                # dynamic batcher (chunked to max_batch, so they coalesce
+                # with other traffic) and returns the top count by the
+                # bundled D score; d_threshold redraws until all kept
+                # samples clear it (bounded by max_rounds).
+                if "count" not in req:
+                    raise ValueError(
+                        "oversample/d_threshold apply to 'count' requests "
+                        "(the server draws and filters its own codes)"
+                    )
+                if req.get("spatial_noise") is not None:
+                    raise ValueError(
+                        "filtered sampling draws its own spatial noise"
+                    )
+                if "scores" not in self.model.manifest.get("outputs", ()):
+                    raise ValueError(
+                        "artifact carries no discriminator scores; "
+                        "re-export with --with_scores 1"
+                    )
+                oversample = 4 if oversample is None else int(oversample)
+                if not 1 <= oversample <= 64:
+                    raise ValueError(
+                        f"oversample must be in [1, 64], got {oversample}"
+                    )
+                max_rounds = int(req.get("max_rounds", 8))
+                if not 1 <= max_rounds <= 20:
+                    raise ValueError(
+                        f"max_rounds must be in [1, 20], got {max_rounds}"
+                    )
+            elif "max_rounds" in req:
+                raise ValueError(
+                    "max_rounds applies only with oversample/d_threshold"
+                )
             if "z" in req:
                 z = np.asarray(req["z"], np.float32)
             else:
@@ -403,22 +490,35 @@ class _Handler(BaseHTTPRequestHandler):
                         f"count must be in [1, {self.batcher.max_batch}]"
                     )
                 rng = np.random.default_rng(req.get("seed"))
-                z = rng.standard_normal(
-                    (count, self.model.code_size)
-                ).astype(np.float32)
-                if (
-                    self.model.spatial_noise_shape is not None
-                    and "spatial_noise" not in req
-                ):
-                    req["spatial_noise"] = rng.standard_normal(
-                        (count, *self.model.spatial_noise_shape)
+                if filtering:
+                    out, rounds = _filtered_render(
+                        self.batcher, self.model, count, rng,
+                        oversample, threshold, max_rounds,
+                    )
+                    filter_info = {"oversample": oversample, "rounds": rounds}
+                    if threshold > 0:
+                        filter_info["d_threshold"] = threshold
+                        filter_info["cleared"] = int(
+                            (out["scores"] >= threshold).sum()
+                        )
+                else:
+                    z = rng.standard_normal(
+                        (count, self.model.code_size)
                     ).astype(np.float32)
-            sn = (
-                np.asarray(req["spatial_noise"], np.float32)
-                if req.get("spatial_noise") is not None
-                else None
-            )
-            out = self.batcher.submit(z, sn)
+                    if (
+                        self.model.spatial_noise_shape is not None
+                        and "spatial_noise" not in req
+                    ):
+                        req["spatial_noise"] = rng.standard_normal(
+                            (count, *self.model.spatial_noise_shape)
+                        ).astype(np.float32)
+            if filter_info is None:
+                sn = (
+                    np.asarray(req["spatial_noise"], np.float32)
+                    if req.get("spatial_noise") is not None
+                    else None
+                )
+                out = self.batcher.submit(z, sn)
         except (ValueError, KeyError, TypeError, json.JSONDecodeError) as e:
             self._reply(400, {"error": str(e)})
             return
@@ -436,6 +536,8 @@ class _Handler(BaseHTTPRequestHandler):
             payload["stages"] = [
                 _encode_images(stage, fmt) for stage in out["stages"]
             ]
+        if filter_info is not None:
+            payload["filter"] = filter_info
         self._reply(200, payload)
 
 

@@ -284,3 +284,102 @@ def test_http_concurrent_requests_coalesce(http_server):
         assert np.asarray(out["images"])[0, 0, 0, 0] == i
     assert sum(model.calls) >= 8  # padded pow2 buckets can exceed the rows
     assert len(model.calls) < 8  # at least one coalesced device call
+
+
+class ScoredStubModel(StubModel):
+    """Stub whose D score is a deterministic function of the code
+    (sigmoid of z[:, 0]) so server-side top-k selection is verifiable
+    by replaying the request's seeded draw."""
+
+    def __call__(self, z, spatial_noise=None):
+        out = super().__call__(z, spatial_noise)
+        out["scores"] = (1.0 / (1.0 + np.exp(-z[:, 0]))).astype(np.float32)
+        return out
+
+
+@pytest.fixture()
+def scored_server():
+    model = ScoredStubModel()
+    server, batcher = make_server(
+        artifact="", model=model, max_batch=16, max_wait_ms=5.0
+    )
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    host, port = server.server_address[:2]
+    yield f"http://{host}:{port}", model
+    server.shutdown()
+    batcher.close()
+    thread.join(timeout=10)
+
+
+def test_http_filtered_top_k_exact(scored_server):
+    """oversample on a count request returns exactly the top-count
+    candidates of the seeded draw (one 16-row chunk -> replayable)."""
+    base, model = scored_server
+    status, out = _post(
+        base + "/render",
+        {"count": 4, "seed": 11, "oversample": 4, "format": "array"},
+    )
+    assert status == 200
+    want_z = np.random.default_rng(11).standard_normal((16, 8))
+    want = np.sort(1.0 / (1.0 + np.exp(-want_z[:, 0])))[::-1][:4]
+    np.testing.assert_allclose(out["scores"], want, rtol=1e-5)
+    assert out["scores"] == sorted(out["scores"], reverse=True)
+    assert len(out["images"]) == 4
+    assert out["filter"] == {"oversample": 4, "rounds": 1}
+
+
+def test_http_filtered_threshold_rounds_and_shortfall(scored_server):
+    """An unreachable d_threshold exhausts max_rounds, still returns
+    count samples, and reports cleared honestly."""
+    base, _ = scored_server
+    status, out = _post(
+        base + "/render",
+        {"count": 3, "seed": 0, "d_threshold": 1.5, "max_rounds": 2},
+    )
+    assert status == 200
+    assert len(out["images"]) == 3
+    assert out["filter"]["rounds"] == 2
+    assert out["filter"]["cleared"] == 0
+    assert out["filter"]["d_threshold"] == 1.5
+
+    # achievable threshold: stops early, everything clears
+    status, out = _post(
+        base + "/render",
+        {"count": 2, "seed": 1, "d_threshold": 0.2, "max_rounds": 20},
+    )
+    assert status == 200
+    assert out["filter"]["cleared"] == 2
+    assert all(s >= 0.2 for s in out["scores"])
+
+
+def test_http_filtered_chunks_large_candidate_pools(scored_server):
+    """count*oversample beyond max_batch is drawn in max_batch chunks
+    through the batcher (no request-size rejection)."""
+    base, model = scored_server
+    before = len(model.calls)
+    status, out = _post(
+        base + "/render", {"count": 16, "seed": 2, "oversample": 4}
+    )
+    assert status == 200 and len(out["images"]) == 16
+    assert sum(model.calls[before:]) == 64  # 4 chunks of max_batch=16
+
+
+def test_http_filtered_validation(scored_server, http_server):
+    base, _ = scored_server
+    for bad in (
+        {"z": [[0.0] * 8], "oversample": 2},           # z-mode filter
+        {"count": 2, "oversample": 0},                  # out of range
+        {"count": 2, "oversample": 65},
+        {"count": 2, "d_threshold": 0.5, "max_rounds": 0},
+        {"count": 2, "max_rounds": 4},                  # rounds w/o filter
+    ):
+        status, out = _post(base + "/render", bad)
+        assert status == 400, bad
+        assert "error" in out
+
+    # artifact without discriminator scores refuses filtering
+    base_ns, model_ns = http_server
+    model_ns.manifest["outputs"] = ["images"]
+    status, out = _post(base_ns + "/render", {"count": 2, "oversample": 2})
+    assert status == 400 and "with_scores" in out["error"]
