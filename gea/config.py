@@ -357,9 +357,10 @@ class TrainGLISConfig(ModelConfig, DataConfig):
         False,
         "instrument the train step with checkify float checks — raises at "
         "the first NaN/Inf-producing op with its source location; under "
-        "data parallelism the first failing device is identified "
-        "(debugging mode, ~2x step cost; not with --model_shards or "
-        "--steps_per_dispatch > 1)",
+        "shard_map data parallelism the first failing device is "
+        "identified; composes with --model_shards and "
+        "--steps_per_dispatch (debugging mode, ~2x step cost; "
+        "single-host only)",
     )
 
 
@@ -513,9 +514,10 @@ class TrainRConfig(ModelConfig, DataConfig):
         False,
         "instrument the train step with checkify float checks — raises at "
         "the first NaN/Inf-producing op with its source location; under "
-        "data parallelism the first failing device is identified "
-        "(debugging mode, ~2x step cost; not with --model_shards or "
-        "--steps_per_dispatch > 1)",
+        "shard_map data parallelism the first failing device is "
+        "identified; composes with --model_shards and "
+        "--steps_per_dispatch (debugging mode, ~2x step cost; "
+        "single-host only)",
     )
 
 

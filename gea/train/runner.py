@@ -323,7 +323,7 @@ def chunk_steps(step_fn, k: int):
     return chunked
 
 
-def make_step_dispatcher(cfg, mesh, fused_step, state_shardings=None):
+def make_step_dispatcher(cfg, mesh, fused_step, state_shardings=None, debug=False):
     """Compile-on-demand dispatcher over chunk sizes.
 
     Returns step(state, raw, rng) -> (state, metrics). When
@@ -333,9 +333,18 @@ def make_step_dispatcher(cfg, mesh, fused_step, state_shardings=None):
 
     `state_shardings` (required iff --model_shards > 1): the dp x tp
     sharding pytree from gea.parallel.tp.state_shardings — selects the
-    GSPMD path (plain jit + sharding annotations) instead of shard_map."""
+    GSPMD path (plain jit + sharding annotations) instead of shard_map.
+
+    `debug` (--debug_checks) swaps each of the three compile paths for
+    its checkify-instrumented counterpart — same dispatch mechanics
+    (chunking, ragged-tail cache), ~2x step cost, no buffer donation."""
     from gea.parallel.dp import make_parallel_input_step
     from gea.parallel.tp import make_gspmd_input_step
+    from gea.utils.debug import (
+        checked,
+        make_checked_gspmd_input_step,
+        make_checked_parallel_input_step,
+    )
 
     k_cfg = dispatch_chunk(cfg)
     cache = {}
@@ -343,11 +352,19 @@ def make_step_dispatcher(cfg, mesh, fused_step, state_shardings=None):
     def build(k):
         fn = chunk_steps(fused_step, k) if k_cfg > 1 else fused_step
         if state_shardings is not None:
-            return make_gspmd_input_step(
-                fn, mesh, state_shardings, chunked=k_cfg > 1
+            make_gspmd = (
+                make_checked_gspmd_input_step if debug else make_gspmd_input_step
             )
+            return make_gspmd(fn, mesh, state_shardings, chunked=k_cfg > 1)
         if mesh is not None:
-            return make_parallel_input_step(fn, mesh, chunked=k_cfg > 1)
+            make_parallel = (
+                make_checked_parallel_input_step
+                if debug
+                else make_parallel_input_step
+            )
+            return make_parallel(fn, mesh, chunked=k_cfg > 1)
+        if debug:
+            return checked(fn)
         return jax.jit(fn, donate_argnums=0)
 
     def dispatch(state, raw, rng):
@@ -399,31 +416,19 @@ def place_state(cfg, mesh, state):
 def build_step_fn(cfg, mesh, state, fused):
     """Resolve the driveable step for a trainer: the normal sharded
     dispatcher, or — with --debug_checks — the checkify NaN/Inf sanitizer
-    (single-host only; rejects --model_shards and chunked dispatch).
+    (single-host only; covers single-device, shard_map DP,
+    --model_shards GSPMD, and --steps_per_dispatch chunking).
     Returns (placed_state, step_fn); shared by all three trainers so the
     sanitizer contract can't silently drift between them."""
-    if getattr(cfg, "debug_checks", False):
-        if tp_shards(cfg) > 1:
-            raise SystemExit("--debug_checks does not support --model_shards")
-        if dispatch_chunk(cfg) > 1:
-            raise SystemExit("--debug_checks requires --steps_per_dispatch 1")
-        if getattr(cfg, "multihost", False) and jax.process_count() > 1:
-            # The sanitizer fetches per-device error leaves to the host;
-            # on a pod those span non-addressable devices and the fetch
-            # itself raises. Single-host DP (this host's whole mesh) is
-            # the supported sanitizer surface.
-            raise SystemExit("--debug_checks is single-host only")
-        from gea.utils.debug import checked, make_checked_parallel_input_step
-
-        if mesh is not None:
-            # DP sanitizer: checkify runs INSIDE shard_map and the host
-            # re-raises the first failing device's error with its
-            # producing op + device index.
-            state, _ = place_state(cfg, mesh, state)
-            return state, make_checked_parallel_input_step(fused, mesh)
-        return state, checked(fused)
+    debug = bool(getattr(cfg, "debug_checks", False))
+    if debug and getattr(cfg, "multihost", False) and jax.process_count() > 1:
+        # The sanitizer fetches per-device error leaves to the host; on a
+        # pod those span non-addressable devices and the fetch itself
+        # raises. Single-host (this host's whole mesh) is the supported
+        # sanitizer surface.
+        raise SystemExit("--debug_checks is single-host only")
     state, shardings = place_state(cfg, mesh, state)
-    return state, make_step_dispatcher(cfg, mesh, fused, shardings)
+    return state, make_step_dispatcher(cfg, mesh, fused, shardings, debug=debug)
 
 
 def maybe_resume(cfg, state):

@@ -283,3 +283,19 @@ def test_host_resize_train_flow(tmp_path):
     assert any(
         f.endswith(".png") for f in os.listdir(os.path.join(g_dir, "samples"))
     )
+
+
+@pytest.mark.slow
+def test_debug_checks_composes_with_chunked_dispatch(tmp_path):
+    """--debug_checks + --steps_per_dispatch > 1 through the real trainer
+    CLI (round 3, session 5): the sanitizer no longer rejects chunked
+    dispatch — checkify threads its error state through the lax.scan
+    chunk and a clean tiny run completes."""
+    from gea.cli import train_glis
+
+    train_glis.main(
+        TINY + ["--niter", "2", "--steps_per_dispatch", "2",
+                "--vis_interval", "2", "--save_interval", "2",
+                "--save_path", str(tmp_path / "g"), "--debug_checks"]
+    )
+    assert os.path.isdir(os.path.join(str(tmp_path / "g"), "step_2"))
