@@ -4,11 +4,16 @@ bfloat16 compute) — the BASELINE.json north-star metric.
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-Methodology (VERDICT r2 #1): the headline number is the MEDIAN of
-GEA_BENCH_REPS (default 5) independent timing repetitions of
-GEA_BENCH_STEPS (default 20) steps each, with per-rep throughputs and the
-max-min spread reported alongside — a single 20-step pass on a tunneled
-runtime cannot distinguish ambient load from a code regression. The benched
+Methodology (VERDICT r2 #1, r3 #3): the headline number is the TRIMMED
+median (min and max reps dropped) of GEA_BENCH_REPS (default 5)
+independent timing repetitions of GEA_BENCH_STEPS (default 20) steps
+each, with per-rep throughputs and the max-min spread reported
+alongside — a single 20-step pass on a tunneled runtime cannot
+distinguish ambient load from a code regression. When the raw spread
+exceeds GEA_BENCH_SPREAD_TOL percent (default 3), the run extends to
+GEA_BENCH_EXTENDED_REPS reps (default 9) before trimming, so one
+ambient-load dip inside the capture window cannot move the driver-facing
+value (the r03 capture had a lone 9,245 rep inside a 10.2k session). The benched
 configuration IS the shipped default trainer config (use_pallas=False; the
 XLA lowering measured faster, benchmarks/KERNELS.md). Two ablation variants
 are also timed (skippable with GEA_BENCH_VARIANTS=""):
@@ -48,6 +53,8 @@ BATCH = int(os.environ.get("GEA_BENCH_BATCH", "256"))
 WARMUP = 3
 STEPS = int(os.environ.get("GEA_BENCH_STEPS", "20"))
 REPS = int(os.environ.get("GEA_BENCH_REPS", "5"))
+SPREAD_TOL = float(os.environ.get("GEA_BENCH_SPREAD_TOL", "3.0"))
+EXTENDED_REPS = int(os.environ.get("GEA_BENCH_EXTENDED_REPS", "9"))
 VARIANTS = os.environ.get("GEA_BENCH_VARIANTS", "pallas,g_two_forward,remat")
 
 
@@ -77,21 +84,41 @@ def time_config(
     # every step ran.
     float(metrics["loss_d"])
 
-    rates = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        for _ in range(STEPS):
-            state, metrics = step(state, real)
-        float(metrics["loss_d"])  # sync: rep boundary
-        dt = time.perf_counter() - t0
-        rates.append(BATCH * STEPS / dt)
+    def run_reps(n: int) -> list:
+        rates = []
+        for _ in range(n):
+            nonlocal state, metrics
+            t0 = time.perf_counter()
+            for _ in range(STEPS):
+                state, metrics = step(state, real)
+            float(metrics["loss_d"])  # sync: rep boundary
+            dt = time.perf_counter() - t0
+            rates.append(BATCH * STEPS / dt)
+        return rates
 
-    median = statistics.median(rates)
+    rates = run_reps(reps)
+
+    def spread(rs: list) -> float:
+        return 100.0 * (max(rs) - min(rs)) / statistics.median(rs)
+
+    # Noise robustness (VERDICT r3 #3: one ambient-load dip inside a 5-rep
+    # capture put 9.9% spread on the headline). When the spread exceeds
+    # SPREAD_TOL, extend to EXTENDED_REPS total and report the TRIMMED
+    # median (drop min and max before taking the median) so a single
+    # tunnel-noise outlier cannot move the one number the driver records.
+    extended = False
+    if spread(rates) > SPREAD_TOL and reps >= 3:
+        extended = True
+        rates = rates + run_reps(max(0, EXTENDED_REPS - len(rates)))
+    trimmed = sorted(rates)[1:-1] if len(rates) >= 4 else rates
+    median = statistics.median(trimmed)
     return {
         "median": round(median, 2),
         "best": round(max(rates), 2),
         "reps": [round(r, 2) for r in rates],
-        "spread_pct": round(100.0 * (max(rates) - min(rates)) / median, 2),
+        "spread_pct": round(spread(rates), 2),
+        "trimmed": len(rates) >= 4,
+        "extended": extended,
     }
 
 
@@ -133,8 +160,10 @@ def main() -> None:
     result = {
         "metric": (
             "images/sec/chip, G+D alternating step, G-LIS-3 80x80 bf16 "
-            f"batch={BATCH} [{platform}], median of {REPS}x{STEPS}-step reps, "
-            "shipped default config"
+            f"batch={BATCH} [{platform}], trimmed median of "
+            f"{len(default['reps'])}x{STEPS}-step reps"
+            + (" (extended: spread>tol)" if default.get("extended") else "")
+            + ", shipped default config"
         ),
         "value": value,
         "unit": "images/sec/chip",

@@ -208,6 +208,11 @@ def main(argv: Optional[list] = None):
         "not a one-metric artifact",
     )
     a = p.parse_args(argv)
+    from gea.utils.devices import acquire_devices
+
+    # Wedged-relay guard: fail loudly within GEA_DEVICE_TIMEOUT
+    # instead of hanging on the first device touch (VERDICT r3 #6).
+    acquire_devices()
 
     from gea.utils.checkpoint import restore_checkpoint
 

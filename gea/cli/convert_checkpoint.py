@@ -179,6 +179,11 @@ def main(argv=None):
         "--out_run", default="", help="gea run dir to create on import"
     )
     a = p.parse_args(argv)
+    from gea.utils.devices import acquire_devices
+
+    # Wedged-relay guard: fail loudly within GEA_DEVICE_TIMEOUT
+    # instead of hanging on the first device touch (VERDICT r3 #6).
+    acquire_devices()
 
     if a.from_torch:
         if not a.out_run:

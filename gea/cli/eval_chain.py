@@ -66,6 +66,11 @@ def main(argv: Optional[list] = None):
         "KID x1000 columns per link",
     )
     a = p.parse_args(argv)
+    from gea.utils.devices import acquire_devices
+
+    # Wedged-relay guard: fail loudly within GEA_DEVICE_TIMEOUT
+    # instead of hanging on the first device touch (VERDICT r3 #6).
+    acquire_devices()
 
     cfg = TrainRIterativeConfig.load(os.path.join(a.load_path, "config.json"))
     generator = GeneratorLIS.from_config(cfg, r_iterations=0)

@@ -132,6 +132,11 @@ def main(argv: Optional[list] = None):
         "the batch dim is symbolic)",
     )
     a = p.parse_args(argv)
+    from gea.utils.devices import acquire_devices
+
+    # Wedged-relay guard: fail loudly within GEA_DEVICE_TIMEOUT
+    # instead of hanging on the first device touch (VERDICT r3 #6).
+    acquire_devices()
     if a.ri_path and (a.load_path or a.r_path):
         raise SystemExit("--ri_path is mutually exclusive with "
                          "--load_path/--r_path")

@@ -53,6 +53,11 @@ def main(argv: Optional[list] = None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--load_path", required=True)
     a = p.parse_args(argv)
+    from gea.utils.devices import acquire_devices
+
+    # Wedged-relay guard: fail loudly within GEA_DEVICE_TIMEOUT
+    # instead of hanging on the first device touch (VERDICT r3 #6).
+    acquire_devices()
     result = summarize(a.load_path)
     print(json.dumps(result, indent=2))
     return result

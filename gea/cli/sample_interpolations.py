@@ -91,6 +91,11 @@ def run(cfg: SampleInterpolationsConfig):
 
 def main(argv: Optional[list] = None):
     cfg = SampleInterpolationsConfig.from_args(argv)
+    from gea.utils.devices import acquire_devices
+
+    # Wedged-relay guard: fail loudly within GEA_DEVICE_TIMEOUT
+    # instead of hanging on the first device touch (VERDICT r3 #6).
+    acquire_devices()
     if not cfg.load_path:
         raise SystemExit("--load_path is required")
     return run(cfg)

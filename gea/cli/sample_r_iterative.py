@@ -83,6 +83,11 @@ def main(argv: Optional[list] = None):
         help="checkpoint step to load (0 = latest)",
     )
     a = p.parse_args(argv)
+    from gea.utils.devices import acquire_devices
+
+    # Wedged-relay guard: fail loudly within GEA_DEVICE_TIMEOUT
+    # instead of hanging on the first device touch (VERDICT r3 #6).
+    acquire_devices()
     return run(
         a.load_path,
         a.save_path_samples,

@@ -359,8 +359,9 @@ class TrainGLISConfig(ModelConfig, DataConfig):
         "the first NaN/Inf-producing op with its source location; under "
         "shard_map data parallelism the first failing device is "
         "identified; composes with --model_shards and "
-        "--steps_per_dispatch (debugging mode, ~2x step cost; "
-        "single-host only)",
+        "--steps_per_dispatch (which it drives one checked step at a "
+        "time — full-chunk checkify compiles pathologically). "
+        "Debugging mode, ~2x step cost; single-host only",
     )
 
 
@@ -516,8 +517,9 @@ class TrainRConfig(ModelConfig, DataConfig):
         "the first NaN/Inf-producing op with its source location; under "
         "shard_map data parallelism the first failing device is "
         "identified; composes with --model_shards and "
-        "--steps_per_dispatch (debugging mode, ~2x step cost; "
-        "single-host only)",
+        "--steps_per_dispatch (which it drives one checked step at a "
+        "time — full-chunk checkify compiles pathologically). "
+        "Debugging mode, ~2x step cost; single-host only",
     )
 
 

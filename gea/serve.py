@@ -121,9 +121,15 @@ class ServingModel:
         sn = self.manifest.get("spatial_noise_shape")
         return tuple(sn) if sn else None
 
-    def __call__(
+    def dispatch(
         self, z: np.ndarray, spatial_noise: Optional[np.ndarray] = None
-    ) -> Dict[str, np.ndarray]:
+    ) -> Dict[str, Any]:
+        """Validate + enqueue one render on the device WITHOUT forcing the
+        outputs to host: returns jax arrays (futures under async
+        dispatch). This is the pipelining primitive — callers that
+        overlap device work with host work (stream, the HTTP batcher's
+        in-flight window) dispatch first and np.asarray later; __call__
+        is dispatch + immediate fetch."""
         z = np.asarray(z, np.float32)
         if z.ndim != 2 or z.shape[1] != self.code_size:
             raise ValueError(
@@ -145,7 +151,12 @@ class ServingModel:
             args.append(np.asarray(spatial_noise, np.float32))
         elif spatial_noise is not None:
             raise ValueError("this artifact takes no spatial noise")
-        out = self._jitted()(*args)
+        return self._jitted()(*args)
+
+    def __call__(
+        self, z: np.ndarray, spatial_noise: Optional[np.ndarray] = None
+    ) -> Dict[str, np.ndarray]:
+        out = self.dispatch(z, spatial_noise)
         return {k: np.asarray(v) for k, v in out.items()}
 
     def stream(self, z_iter, depth: int = 8):
@@ -425,6 +436,11 @@ def _main(argv=None) -> None:
         "(BCE-calibrated scores; top-k ranking is objective-agnostic)",
     )
     a = p.parse_args(argv)
+    from gea.utils.devices import acquire_devices
+
+    # Wedged-relay guard: fail loudly within GEA_DEVICE_TIMEOUT
+    # instead of hanging on the first device touch (VERDICT r3 #6).
+    acquire_devices()
 
     if a.rows < 1:
         raise SystemExit(f"--rows must be >= 1, got {a.rows}")

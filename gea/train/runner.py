@@ -11,6 +11,7 @@ import os
 from typing import Any, Callable, Iterator, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from gea.data.ondevice import preprocess_batch, synthetic_batch
@@ -26,11 +27,18 @@ from gea.utils.checkpoint import (
     save_checkpoint,
     wait_for_checkpoints,
 )
+from gea.utils.devices import acquire_devices
 from gea.utils.meters import ThroughputMeter
 from gea.utils.plotting import LossPlotter
 
 
 def prepare_run(cfg) -> str:
+    if not getattr(cfg, "multihost", False):
+        # Guard the first device touch against a wedged runtime (shared
+        # watchdog, gea/utils/devices.py). Skipped on pods: there the
+        # first touch is jax.distributed.initialize()'s rendezvous,
+        # which has its own timeout and must not race a probe thread.
+        acquire_devices("trainer device acquisition")
     if getattr(cfg, "multihost", False):
         # Multi-host pods (SURVEY.md §2/§5): coordinator discovery over
         # DCN via the standard cluster env; after this, jax.devices()
@@ -336,8 +344,15 @@ def make_step_dispatcher(cfg, mesh, fused_step, state_shardings=None, debug=Fals
     GSPMD path (plain jit + sharding annotations) instead of shard_map.
 
     `debug` (--debug_checks) swaps each of the three compile paths for
-    its checkify-instrumented counterpart — same dispatch mechanics
-    (chunking, ragged-tail cache), ~2x step cost, no buffer donation."""
+    its checkify-instrumented counterpart — ~2x step cost, no buffer
+    donation. With --steps_per_dispatch > 1 the sanitizer does NOT push
+    checkify through the lax.scan chunk (that compiles pathologically:
+    10+ minutes for a 2-step toy config on CPU, measured round 4) —
+    instead it drives the checked SINGLE-step program k times from the
+    host and stacks metrics to match chunk_steps' (k,)-stacked contract.
+    Error reporting gets sharper (the raise names the exact step in the
+    chunk, not just "somewhere in the chunk") at the cost of dispatch
+    amortization, which a debugging mode doesn't need."""
     from gea.parallel.dp import make_parallel_input_step
     from gea.parallel.tp import make_gspmd_input_step
     from gea.utils.debug import (
@@ -348,21 +363,54 @@ def make_step_dispatcher(cfg, mesh, fused_step, state_shardings=None, debug=Fals
 
     k_cfg = dispatch_chunk(cfg)
     cache = {}
+    single_box = {}
+
+    def build_checked_single():
+        # One compiled checked step shared across chunk sizes (the ragged
+        # tail of a run must not trigger a second checkify compile).
+        if "fn" not in single_box:
+            if state_shardings is not None:
+                single_box["fn"] = make_checked_gspmd_input_step(
+                    fused_step, mesh, state_shardings, chunked=False
+                )
+            elif mesh is not None:
+                single_box["fn"] = make_checked_parallel_input_step(
+                    fused_step, mesh, chunked=False
+                )
+            else:
+                single_box["fn"] = checked(fused_step)
+        return single_box["fn"]
 
     def build(k):
+        if debug and k_cfg > 1:
+            single = build_checked_single()
+
+            def looped(state, raws, rng):
+                rngs = jax.random.split(rng, k)
+                ms = []
+                for i in range(k):
+                    state, m = single(state, raws[i], rngs[i])
+                    ms.append(m)
+                return state, jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *ms
+                )
+
+            return looped
         fn = chunk_steps(fused_step, k) if k_cfg > 1 else fused_step
         if state_shardings is not None:
-            make_gspmd = (
-                make_checked_gspmd_input_step if debug else make_gspmd_input_step
+            if debug:
+                return make_checked_gspmd_input_step(
+                    fn, mesh, state_shardings, chunked=k_cfg > 1
+                )
+            return make_gspmd_input_step(
+                fn, mesh, state_shardings, chunked=k_cfg > 1
             )
-            return make_gspmd(fn, mesh, state_shardings, chunked=k_cfg > 1)
         if mesh is not None:
-            make_parallel = (
-                make_checked_parallel_input_step
-                if debug
-                else make_parallel_input_step
-            )
-            return make_parallel(fn, mesh, chunked=k_cfg > 1)
+            if debug:
+                return make_checked_parallel_input_step(
+                    fn, mesh, chunked=k_cfg > 1
+                )
+            return make_parallel_input_step(fn, mesh, chunked=k_cfg > 1)
         if debug:
             return checked(fn)
         return jax.jit(fn, donate_argnums=0)
@@ -421,6 +469,14 @@ def build_step_fn(cfg, mesh, state, fused):
     Returns (placed_state, step_fn); shared by all three trainers so the
     sanitizer contract can't silently drift between them."""
     debug = bool(getattr(cfg, "debug_checks", False))
+    if debug:
+        print(
+            "[gea] --debug_checks: checkify float-check instrumentation "
+            "active (~2x step cost, no buffer donation; NOTE the XLA "
+            "compile of the checked step scales steeply with model size "
+            "and LIS chain depth — minutes on CPU for non-toy configs)",
+            flush=True,
+        )
     if debug and getattr(cfg, "multihost", False) and jax.process_count() > 1:
         # The sanitizer fetches per-device error leaves to the host; on a
         # pod those span non-addressable devices and the fetch itself

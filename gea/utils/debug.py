@@ -11,10 +11,13 @@ shard_map DP path (checkify inside the per-device region) and
 `make_checked_gspmd_input_step` to the --model_shards GSPMD path
 (checkify composes with plain jit + sharding annotations, so the error
 state is just one more replicated output). Chunked dispatch
-(--steps_per_dispatch K) is covered too: checkify threads its error
-state through lax.scan, so the first bad op anywhere in the K-step
-chunk is the one reported. Costs roughly 2x step time — a debugging
-tool, not a production mode.
+(--steps_per_dispatch K) is covered too, but NOT by checkifying the
+lax.scan chunk — that compiles pathologically (10+ minutes for a 2-step
+toy config on CPU, measured round 4). Instead the dispatcher
+(runner.make_step_dispatcher) drives the checked single-step program K
+times from the host, so the first bad op is reported with the exact
+step it occurred on. Costs roughly 2x step time plus per-step dispatch
+— a debugging tool, not a production mode.
 """
 
 from __future__ import annotations

@@ -288,14 +288,24 @@ def test_host_resize_train_flow(tmp_path):
 @pytest.mark.slow
 def test_debug_checks_composes_with_chunked_dispatch(tmp_path):
     """--debug_checks + --steps_per_dispatch > 1 through the real trainer
-    CLI (round 3, session 5): the sanitizer no longer rejects chunked
-    dispatch — checkify threads its error state through the lax.scan
-    chunk and a clean tiny run completes."""
+    CLI: the sanitizer accepts chunked dispatch by looping the checked
+    single-step program over the chunk on the host (round 4 — checkify
+    THROUGH the lax.scan chunk compiled for 10+ minutes on CPU, so the
+    dispatcher bounds the compile to the single-step program). A clean
+    tiny run completes and writes its periodic artifacts.
+
+    --r_iterations 1 keeps the checkified graph small: checkify compile
+    time on XLA-CPU scales steeply with LIS chain depth (~1 min at 1
+    module vs ~10+ min at the default 3 for the same 16x16 toy model —
+    measured round 4), and this test pins flag COMPOSITION, not depth."""
     from gea.cli import train_glis
 
     train_glis.main(
-        TINY + ["--niter", "2", "--steps_per_dispatch", "2",
+        TINY + ["--r_iterations", "1", "--niter", "2",
+                "--steps_per_dispatch", "2",
                 "--vis_interval", "2", "--save_interval", "2",
                 "--save_path", str(tmp_path / "g"), "--debug_checks"]
     )
-    assert os.path.isdir(os.path.join(str(tmp_path / "g"), "step_2"))
+    assert os.path.isdir(
+        os.path.join(str(tmp_path / "g"), "checkpoints", "2")
+    )
