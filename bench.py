@@ -5,7 +5,8 @@ bfloat16 compute) — the BASELINE.json north-star metric.
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
 Methodology (VERDICT r2 #1, r3 #3): the headline number is the TRIMMED
-median (min and max reps dropped) of GEA_BENCH_REPS (default 5)
+MEAN (min and max reps dropped, rest averaged — trimming a median would
+be a no-op) of GEA_BENCH_REPS (default 5)
 independent timing repetitions of GEA_BENCH_STEPS (default 20) steps
 each, with per-rep throughputs and the max-min spread reported
 alongside — a single 20-step pass on a tunneled runtime cannot
@@ -103,22 +104,26 @@ def time_config(
 
     # Noise robustness (VERDICT r3 #3: one ambient-load dip inside a 5-rep
     # capture put 9.9% spread on the headline). When the spread exceeds
-    # SPREAD_TOL, extend to EXTENDED_REPS total and report the TRIMMED
-    # median (drop min and max before taking the median) so a single
-    # tunnel-noise outlier cannot move the one number the driver records.
-    extended = False
+    # SPREAD_TOL, extend to EXTENDED_REPS total, and report the TRIMMED
+    # MEAN (drop min and max, average the rest) so a single tunnel-noise
+    # outlier cannot move the one number the driver records. (Trimming
+    # before a MEDIAN would be a no-op — dropping the extremes never moves
+    # the middle element — so the estimator is the midmean-style trimmed
+    # mean; the plain median is kept in the JSON for comparison.)
+    extra = 0
     if spread(rates) > SPREAD_TOL and reps >= 3:
-        extended = True
-        rates = rates + run_reps(max(0, EXTENDED_REPS - len(rates)))
+        extra = max(0, EXTENDED_REPS - len(rates))
+        rates = rates + run_reps(extra)
     trimmed = sorted(rates)[1:-1] if len(rates) >= 4 else rates
-    median = statistics.median(trimmed)
+    value = statistics.mean(trimmed)
     return {
-        "median": round(median, 2),
+        "headline": round(value, 2),  # trimmed mean
+        "plain_median": round(statistics.median(rates), 2),
         "best": round(max(rates), 2),
         "reps": [round(r, 2) for r in rates],
         "spread_pct": round(spread(rates), 2),
         "trimmed": len(rates) >= 4,
-        "extended": extended,
+        "extended": extra > 0,
     }
 
 
@@ -156,11 +161,11 @@ def main() -> None:
                 json.load(f).get("torch_reference_images_per_sec", 0.0)
             )
 
-    value = default["median"]
+    value = default["headline"]
     result = {
         "metric": (
             "images/sec/chip, G+D alternating step, G-LIS-3 80x80 bf16 "
-            f"batch={BATCH} [{platform}], trimmed median of "
+            f"batch={BATCH} [{platform}], trimmed mean of "
             f"{len(default['reps'])}x{STEPS}-step reps"
             + (" (extended: spread>tol)" if default.get("extended") else "")
             + ", shipped default config"

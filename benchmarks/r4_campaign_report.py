@@ -5,7 +5,8 @@ benchmarks/r4_quality_campaign.sh via `compute_fid --second_opinion`)
 plus each run dir's best.json, and prints:
 
 * one row per (config, seed, objective) with all five metrics,
-* per-seed win/loss verdicts (a win = better on >=4 of 5 metrics), and
+* per-seed win/loss verdicts (a win = better on >=4 of 5 metrics;
+  3/5 or an even split is reported as a tie), and
 * the aggregate verdict line for docs/RESULTS.md.
 
 VERDICT r3 weak #4 / order #8: the round-3 WGAN-GP claim was one seed,
@@ -64,6 +65,7 @@ def main():
         )
         print("|---|---|---|---|---|---|---|---|---|")
         wins = {"bce": 0, "wgan-gp": 0}
+        ties = 0
         complete = 0
         for seed in (1, 2, 3):
             rows = {o: load(args.data, args.runs, tag, o, seed)
@@ -82,14 +84,26 @@ def main():
                 better = ("bce" if a < b else "wgan-gp") if lower else (
                     "bce" if a > b else "wgan-gp")
                 score[better] += 1
-            winner = max(score, key=score.get) if score["bce"] != score[
-                "wgan-gp"] else "tie"
-            if winner != "tie":
+            # Documented criterion: a seed-level WIN requires >= 4 of the
+            # 5 metrics; a 3/5 majority (or an even split) is a tie.
+            if score["wgan-gp"] >= 4:
+                winner = "wgan-gp"
+            elif score["bce"] >= 4:
+                winner = "bce"
+            else:
+                winner = None
+            if winner is None:
+                ties += 1
+            else:
                 wins[winner] += 1
             for o in ("bce", "wgan-gp"):
                 r = rows[o]
-                v = (f"**{winner} {score[winner]}/5**"
-                     if o == "wgan-gp" else "")
+                if o != "wgan-gp":
+                    v = ""
+                elif winner is None:
+                    v = f"tie (wgan-gp {score['wgan-gp']}, bce {score['bce']})"
+                else:
+                    v = f"**{winner} {score[winner]}/5**"
                 print(
                     f"| {seed} | {o} | {r.get('best_step', '?')} |"
                     f" {r['proxy-FID']:.2f} | {r['proxy-FID-b']:.2f} |"
@@ -99,7 +113,8 @@ def main():
         if complete:
             print(
                 f"\nwgan-gp wins {wins['wgan-gp']}/{complete} seeds,"
-                f" bce wins {wins['bce']}/{complete} on {desc}."
+                f" bce wins {wins['bce']}/{complete},"
+                f" {ties} tie(s) (win = >=4/5 metrics) on {desc}."
             )
 
 

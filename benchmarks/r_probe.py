@@ -114,17 +114,40 @@ def time_step(name, state, step, batch, steps, warmup, reps, needs_real):
         else jnp.zeros((batch,), jnp.float32)
     )
     jitted = jax.jit(step, donate_argnums=0)
+    runner = jitted
     try:
+        # AOT-compile once and time the executable itself — going back
+        # through `jitted(...)` would trace+compile a second time (the
+        # jit dispatch cache is separate from the AOT path; the
+        # persistent GEA_COMPILE_CACHE softens but does not remove it).
         compiled = jitted.lower(state, real).compile()
-        ca = compiled.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        compiled_flops = float(ca.get("flops", 0.0)) or None
-    except Exception as e:  # cost analysis is best-effort on some runtimes
-        print(f"[r_probe] cost_analysis unavailable for {name}: {e}")
+        runner = compiled
+        try:
+            ca = compiled.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            compiled_flops = float(ca.get("flops", 0.0)) or None
+        except Exception as e:  # cost analysis is best-effort on some runtimes
+            print(f"[r_probe] cost_analysis unavailable for {name}: {e}")
+    except Exception as e:
+        print(f"[r_probe] AOT lowering unavailable for {name}: {e}")
 
-    for _ in range(warmup):
-        state, metrics = jitted(state, real)
+    # >= 1 warmup call establishes `metrics` for the host-side sync read.
+    # The first call guards the (hardware-untested on axon) AOT-execution
+    # path: a dispatch-time rejection raises before launch, so `state` is
+    # still valid and the probe falls back to the ordinary jit path.
+    warmup = max(warmup, 1)
+    try:
+        state, metrics = runner(state, real)
+    except Exception as e:
+        if runner is jitted:
+            raise
+        print(f"[r_probe] AOT execution failed for {name}, "
+              f"falling back to jit dispatch: {e}")
+        runner = jitted
+        state, metrics = runner(state, real)
+    for _ in range(warmup - 1):
+        state, metrics = runner(state, real)
     key = sorted(metrics)[0]
     float(metrics[key])  # sync (block_until_ready unreliable on axon)
 
@@ -132,7 +155,7 @@ def time_step(name, state, step, batch, steps, warmup, reps, needs_real):
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(steps):
-            state, metrics = jitted(state, real)
+            state, metrics = runner(state, real)
         float(metrics[key])
         dt = time.perf_counter() - t0
         rates.append(batch * steps / dt)
