@@ -76,11 +76,23 @@ class DynamicBatcher:
     keeps gathering until `max_batch` rows are queued or `max_wait_ms`
     has passed since the first arrival, and dispatches the concatenation
     as one device call WITHOUT fetching the outputs. The RETIRE thread
-    pops dispatched batches from a bounded in-flight window
-    (`pipeline_depth`, default 4), forces them to host, slices per
-    request, and releases the waiters — so device call N+1 overlaps the
-    fetch/slice/PNG-encode of call N instead of serializing behind it
-    (ServingModel.stream's in-flight<=K pattern, VERDICT r3 weak #5).
+    processes dispatched batches — at most `pipeline_depth` (default 4)
+    may be dispatched-but-unretired at once — forcing them to host,
+    slicing per request, and releasing the waiters — so device call N+1
+    overlaps the fetch/slice/PNG-encode of call N instead of serializing
+    behind it (ServingModel.stream's in-flight<=K pattern, VERDICT r3
+    weak #5).
+
+    Backpressure-adaptive growth (round 4, measured): when every
+    in-flight slot is taken, the dispatch thread keeps GATHERING newly
+    arrived requests into the pending batch (up to max_batch) instead of
+    queueing another small one. Without this, the pipelined dispatcher
+    drains the queue too eagerly — on a high-RTT transport (tunneled
+    chip, ~35-50 ms/call) the 32x8 load test realized mean batch 39 vs
+    the round-3 SERIAL batcher's 80, i.e. 2x the device calls and LOWER
+    throughput (264 vs 391 img/s), because the serial design implicitly
+    grew batches while blocked on the fetch. Growing under backpressure
+    recovers that behavior while keeping the overlap.
 
     Device batches are padded with zero rows up to a small set of bucket
     sizes (powers of two up to max_batch; or the pinned size for
@@ -126,11 +138,16 @@ class DynamicBatcher:
         self.rows = 0
         self.batch_sizes: Counter = Counter()
         # In-flight window between the dispatch and retire threads: at
-        # most `pipeline_depth` dispatched-but-unfetched device batches.
+        # most `pipeline_depth` dispatched-but-unRETIRED device batches.
+        # A bounded Queue can't express that (get() frees the slot before
+        # the fetch runs), so the window is a semaphore the dispatch
+        # thread acquires per batch and the retire thread releases only
+        # after the batch's waiters are done.
         import queue as _queue
 
         self.pipeline_depth = pipeline_depth
-        self._inflight: "_queue.Queue" = _queue.Queue(maxsize=pipeline_depth)
+        self._slots = threading.Semaphore(pipeline_depth)
+        self._inflight: "_queue.Queue" = _queue.Queue()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
         self._retirer = threading.Thread(target=self._retire_loop, daemon=True)
@@ -284,16 +301,41 @@ class DynamicBatcher:
                 batch = self._take_batch()
                 if batch is None:
                     return
+                self._await_slot(batch)
                 try:
                     item = self._dispatch(batch)
                 except Exception as e:  # validation/dispatch failure
                     for p in batch:
                         p.error = e
                         p.done.set()
+                    self._slots.release()
                     continue
                 self._inflight.put(item)
         finally:
             self._inflight.put(None)  # retire-thread sentinel
+
+    def _await_slot(self, batch: List[_Pending]) -> None:
+        """Acquire an in-flight slot, growing `batch` with newly arrived
+        requests while every slot is taken (see class docstring: on
+        high-RTT transports, batch growth under backpressure beats
+        dispatching more small calls)."""
+        rows = sum(p.z.shape[0] for p in batch)
+        while not self._slots.acquire(blocking=False):
+            if rows >= self.max_batch:
+                self._slots.acquire()  # full batch: just wait for a slot
+                return
+            with self._lock:
+                while self._queue:
+                    nxt = self._queue[0].z.shape[0]
+                    if rows + nxt > self.max_batch:
+                        break
+                    batch.append(self._queue.pop(0))
+                    rows += nxt
+                if rows < self.max_batch:
+                    # Wake on new arrivals; a Condition can't also wait
+                    # on the semaphore, so re-poll the slot at a small
+                    # bound either way.
+                    self._lock.wait(timeout=0.002)
 
     def _retire_loop(self) -> None:
         while True:
@@ -321,6 +363,7 @@ class DynamicBatcher:
             finally:
                 for p in batch:
                     p.done.set()
+                self._slots.release()
 
     def _bucket_for(self, rows: int) -> int:
         if self._buckets is None:
@@ -603,6 +646,7 @@ def make_server(
     model: Optional[serve.ServingModel] = None,
     bucket: bool = True,
     data_parallel: bool = False,
+    pipeline_depth: int = 4,
 ) -> Tuple[ThreadingHTTPServer, DynamicBatcher]:
     """Build (but don't start) the server; port 0 picks a free port.
 
@@ -613,7 +657,8 @@ def make_server(
     if data_parallel:
         model = model.sharded()
     batcher = DynamicBatcher(
-        model, max_batch=max_batch, max_wait_ms=max_wait_ms, bucket=bucket
+        model, max_batch=max_batch, max_wait_ms=max_wait_ms, bucket=bucket,
+        pipeline_depth=pipeline_depth,
     )
     handler = type(
         "BoundHandler", (_Handler,), {"batcher": batcher, "model": model}
@@ -646,6 +691,13 @@ def main(argv: Optional[list] = None) -> None:
         "per exact coalesced size — only sane on a pre-warmed cache)",
     )
     p.add_argument(
+        "--pipeline_depth", type=int, default=4,
+        help="max device batches dispatched-but-unretired at once; while "
+        "all slots are taken the dispatcher grows the pending batch "
+        "instead of queueing small calls (1 ~= the serial batcher plus "
+        "fetch overlap)",
+    )
+    p.add_argument(
         "--warmup", type=int, default=1,
         help="compile every batch bucket before accepting traffic "
         "(0 = compile lazily on first use)",
@@ -665,6 +717,7 @@ def main(argv: Optional[list] = None) -> None:
     server, batcher = make_server(
         a.artifact, a.host, a.port, a.max_batch, a.max_wait_ms,
         bucket=bool(a.bucket), data_parallel=bool(a.data_parallel),
+        pipeline_depth=a.pipeline_depth,
     )
     if a.warmup:
         buckets = batcher.stats()["buckets"] or [batcher.max_batch]

@@ -154,6 +154,82 @@ def test_batcher_validates_and_propagates_errors():
     b2.close()
 
 
+class _Lazy:
+    """Array-like whose materialization blocks until `gate` opens —
+    stands in for an un-fetched device buffer in the retire thread."""
+
+    def __init__(self, gate, arr):
+        self.gate = gate
+        self.arr = arr
+
+    def __array__(self, dtype=None, copy=None):
+        assert self.gate.wait(timeout=10), "retire gate never opened"
+        return self.arr if dtype is None else self.arr.astype(dtype)
+
+
+class AsyncStub(StubModel):
+    """ServingModel lookalike with an async `dispatch`: the device call
+    returns immediately; the RETIRE-side fetch (np.asarray) blocks on
+    `gate` — the shape of a real pipelined fetch on a slow transport."""
+
+    def __init__(self, **kw):
+        super().__init__(**kw)
+        self.gate = threading.Event()
+
+    def dispatch(self, z, spatial_noise=None):
+        out = super().__call__(z)
+        return {k: _Lazy(self.gate, v) for k, v in out.items()}
+
+
+def test_batcher_grows_batch_under_backpressure():
+    # While every in-flight slot is taken (retire blocked on the fetch),
+    # newly arrived requests must coalesce into ONE growing batch instead
+    # of being dispatched as more small calls (the measured high-RTT
+    # regression vs the serial batcher — docs/RESULTS.md round 4).
+    model = AsyncStub()
+    b = DynamicBatcher(model, max_batch=64, max_wait_ms=1.0,
+                       pipeline_depth=1)
+    results = {}
+
+    def worker(i):
+        results[i] = b.submit(np.full((2, 8), float(i), np.float32))
+
+    threads = [threading.Thread(target=worker, args=(0,))]
+    threads[0].start()
+    # first request dispatches alone and takes the only slot
+    deadline = 5.0
+    import time
+
+    t0 = time.monotonic()
+    while len(model.calls) < 1 and time.monotonic() - t0 < deadline:
+        time.sleep(0.005)
+    assert model.calls == [2]
+    # four more arrive while the slot is held: the dispatcher must absorb
+    # them all into its pending batch (queue drains, no second call yet)
+    for i in range(1, 5):
+        t = threading.Thread(target=worker, args=(i,))
+        t.start()
+        threads.append(t)
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < deadline:
+        with b._lock:
+            drained = not b._queue and b.requests == 5
+        if drained and len(model.calls) == 1:
+            break
+        time.sleep(0.005)
+    assert len(model.calls) == 1  # nothing dispatched while slot held
+    model.gate.set()  # fetch completes -> slot frees -> ONE grown call
+    for t in threads:
+        t.join(timeout=10)
+    b.close()
+    assert model.calls == [2, 8]  # 4 requests x 2 rows coalesced
+    for i in range(5):
+        assert results[i]["images"].shape == (2, 4, 4, 3)
+        assert np.all(results[i]["images"][:, 0, 0, 0] == i)
+    sizes = b.stats()["batch_sizes"]
+    assert sum(sizes.values()) == 2
+
+
 def _post(url, payload):
     req = urllib.request.Request(
         url, data=json.dumps(payload).encode(),
