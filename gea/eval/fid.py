@@ -5,9 +5,12 @@ The acceptance metric for the rebuild is "FID parity vs reference"
 network access and no cached InceptionV3 weights. Strategy, as SURVEY.md
 §7 prescribes ("substitute a documented proxy ... and flag it"):
 
-* ``extractor="inception"`` — the standard FID feature network, used
-  automatically IF keras can materialize imagenet weights (cached or
-  downloadable). Raises a clear error otherwise.
+* ``extractor="inception"`` — the standard FID feature network. "auto"
+  upgrades to it only when weights are already on disk (keras cache,
+  $GEA_INCEPTION_WEIGHTS, or --inception_weights); only an EXPLICIT
+  "inception" request may attempt a (time-bounded) download, because a
+  hanging download inside a tracker init stalls training (round 4).
+  Raises a clear error when weights can't be materialized.
 * ``extractor="random"`` (default fallback) — a frozen, fixed-seed
   random-projection CNN over image patches. Random-feature Frechet
   distances are a known cheap proxy that rank-correlates with
@@ -229,17 +232,34 @@ def make_feature_extractor(
         extractor == "auto" and not _inception_unavailable
     ):
         cached = probe_cached_inception_weights()
-        try:
-            return (
-                _inception_extractor(
-                    image_size, weights=cached or "imagenet"
-                ),
-                "FID(inception-v3)",
-            )
-        except RuntimeError:
-            _inception_unavailable = True  # don't re-attempt downloads
-            if extractor == "inception":
-                raise
+        if not cached and extractor == "auto":
+            # "auto" upgrades to true FID only from weights already on
+            # disk. It must NEVER attempt a network download inside a
+            # trainer/tracker init: on this image the keras download
+            # does not fail fast — a DNS blackhole hung a tracked
+            # 256x256 training run indefinitely before its first step
+            # (round 4). Explicit extractor="inception" (or
+            # --inception_weights) may still try, time-bounded below.
+            _inception_unavailable = True
+        else:
+            import socket
+
+            prev = socket.getdefaulttimeout()
+            try:
+                if not cached:
+                    socket.setdefaulttimeout(30.0)  # bound the download
+                return (
+                    _inception_extractor(
+                        image_size, weights=cached or "imagenet"
+                    ),
+                    "FID(inception-v3)",
+                )
+            except RuntimeError:
+                _inception_unavailable = True  # don't re-attempt downloads
+                if extractor == "inception":
+                    raise
+            finally:
+                socket.setdefaulttimeout(prev)
     if extractor == "random-b":
         # Independent second-opinion proxy (VERDICT r2 #7): different
         # seed, different widths, different head dimensionality — rank
