@@ -334,9 +334,15 @@ def build_r_iterative_step(
     tx_d: optax.GradientTransformation,
     tx_r: optax.GradientTransformation,
     axis_name: Optional[str] = None,
+    fold_device_noise: bool = True,
 ) -> Callable[[GANTrainState, jnp.ndarray], Tuple[GANTrainState, Metrics]]:
     """Joint G/D/R step. `generator` here is the plain conv core
-    (r_iterations=0 — the R-iterative approach predates LIS modules)."""
+    (r_iterations=0 — the R-iterative approach predates LIS modules).
+
+    `fold_device_noise=False` makes every device draw IDENTICAL z0/noise
+    (test-only: enables the exact single-device-equivalence check of the
+    shard_map/pmean path for the three-player update; never use for
+    training — replicas would explore the same codes)."""
     n_links = cfg.r_chain_length + 1  # images: img_0 .. img_T
     # Final link weighted highest, like the staged G-LIS loss.
     raw_w = [0.5 + 0.5 * i / max(1, n_links - 1) for i in range(n_links)]
@@ -390,7 +396,7 @@ def build_r_iterative_step(
     def step(state: GANTrainState, real: jnp.ndarray):
         batch = real.shape[0]
         step_rng = jax.random.fold_in(state.rng, state.step)
-        if axis_name is not None:
+        if axis_name is not None and fold_device_noise:
             step_rng = jax.random.fold_in(step_rng, lax.axis_index(axis_name))
         z_rng, sn_rng = jax.random.split(step_rng)
         z0 = jax.random.normal(z_rng, (batch, cfg.code_size), jnp.float32)
@@ -508,7 +514,7 @@ def build_r_iterative_step(
             )
         micro = batch // accum
         step_rng = jax.random.fold_in(state.rng, state.step)
-        if axis_name is not None:
+        if axis_name is not None and fold_device_noise:
             step_rng = jax.random.fold_in(step_rng, lax.axis_index(axis_name))
         z_rng, sn_rng = jax.random.split(step_rng)
         z0 = jax.random.normal(z_rng, (batch, cfg.code_size), jnp.float32)
