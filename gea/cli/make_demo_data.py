@@ -42,7 +42,10 @@ from __future__ import annotations
 
 import argparse
 import colorsys
+import hashlib
+import json
 import os
+import sys
 
 import numpy as np
 
@@ -216,6 +219,59 @@ def render_diverse(rng: np.random.Generator, size: int) -> np.ndarray:
 RENDERERS = {"diverse": render_diverse, "blobs": render_image}
 
 
+def write_manifest(out_dir: str, args: argparse.Namespace) -> dict:
+    """Pin dataset provenance (VERDICT r4 order #8): every quality number's
+    ground truth is a generated JPEG folder, and a silent PIL/libjpeg
+    version drift would change the pixels without changing any config.
+    The manifest records the exact regeneration command, the library
+    versions that encoded the JPEGs, and content hashes: sha256 of every
+    file folded into one dump digest, plus per-file hashes of a fixed
+    spot-check sample so a partial diff is cheap."""
+    import PIL
+    from PIL import features
+
+    files = sorted(
+        f
+        for f in os.listdir(out_dir)
+        if f.lower().endswith((".jpg", ".jpeg", ".png"))
+    )
+    dump = hashlib.sha256()
+    spot = {}
+    stride = max(1, len(files) // 16)
+    for i, name in enumerate(files):
+        with open(os.path.join(out_dir, name), "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()
+        dump.update(name.encode())
+        dump.update(bytes.fromhex(digest))
+        if i % stride == 0 or i == len(files) - 1:
+            spot[name] = digest
+    manifest = {
+        "command": "python -m gea.cli.make_demo_data "
+        + " ".join(
+            f"--{k} {getattr(args, k)}"
+            for k in ("out", "count", "size", "seed", "quality", "style")
+        ),
+        "count": len(files),
+        "style": args.style,
+        "size": args.size,
+        "seed": args.seed,
+        "quality": args.quality,
+        "versions": {
+            "python": sys.version.split()[0],
+            "numpy": np.__version__,
+            "pillow": PIL.__version__,
+            "libjpeg": features.version("jpg"),
+        },
+        "sha256_dump": dump.hexdigest(),
+        "sha256_spot_check": spot,
+    }
+    path = os.path.join(out_dir, "MANIFEST.json")
+    with open(path, "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    print(f"[gea] manifest: {path} (dump sha256 {manifest['sha256_dump'][:16]}...)")
+    return manifest
+
+
 def main(argv=None) -> None:
     from PIL import Image, ImageFilter
 
@@ -230,7 +286,19 @@ def main(argv=None) -> None:
         help="'diverse' (round-4 compositional scenes) or 'blobs' (the "
         "round-1..3 single-ellipse generator, kept for reproducibility)",
     )
+    p.add_argument(
+        "--manifest_only",
+        action="store_true",
+        help="skip generation; hash the EXISTING files in --out into "
+        "MANIFEST.json, recording this command line's flags as the "
+        "claimed provenance (for dumps generated before manifests "
+        "existed — pass the same flags the dump was made with)",
+    )
     a = p.parse_args(argv)
+
+    if a.manifest_only:
+        write_manifest(a.out, a)
+        return
 
     render = RENDERERS[a.style]
     os.makedirs(a.out, exist_ok=True)
@@ -246,6 +314,7 @@ def main(argv=None) -> None:
     print(
         f"[gea] wrote {a.count} {a.size}x{a.size} '{a.style}' JPEGs to {a.out}"
     )
+    write_manifest(a.out, a)
 
 
 if __name__ == "__main__":
