@@ -151,8 +151,14 @@ def run(cfg: TrainGLISConfig):
     check_batch(cfg, num_chips)
 
     generator, discriminator = build_models(cfg)
-    tx_g = make_optimizer(cfg.lr, cfg.beta1, cfg.beta2)
-    tx_d = make_optimizer(cfg.lr, cfg.beta1, cfg.beta2)
+    tx_g = make_optimizer(
+        cfg.lr, cfg.beta1, cfg.beta2,
+        schedule=cfg.lr_schedule, total_steps=cfg.niter, lr_final=cfg.lr_final,
+    )
+    tx_d = make_optimizer(
+        cfg.lr, cfg.beta1, cfg.beta2,
+        schedule=cfg.lr_schedule, total_steps=cfg.niter, lr_final=cfg.lr_final,
+    )
     state = create_glis_state(cfg, generator, discriminator, tx_g, tx_d, cfg.seed)
     print(
         f"[gea] G params: {param_count(state.params_g):,}  "

@@ -208,7 +208,10 @@ def run(cfg: TrainRSeparateConfig):
     check_batch(cfg, num_chips)
 
     reverter = Reverter.from_config(cfg)
-    tx_r = make_optimizer(cfg.lr, cfg.beta1, cfg.beta2)
+    tx_r = make_optimizer(
+        cfg.lr, cfg.beta1, cfg.beta2,
+        schedule=cfg.lr_schedule, total_steps=cfg.niter, lr_final=cfg.lr_final,
+    )
     state = create_r_state(cfg, reverter, tx_r, cfg.seed)
     print(f"[gea] R params: {param_count(state.params_r):,}  devices: {num_chips}")
     state, start_step = maybe_resume(cfg, state)

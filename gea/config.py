@@ -240,6 +240,19 @@ class TrainGLISConfig(ModelConfig, DataConfig):
     generator (SURVEY.md §3.1)."""
 
     lr: float = _flag(0.0002, "Adam learning rate for G and D")
+    lr_schedule: str = _flag(
+        "constant",
+        "learning-rate schedule over --niter steps: cosine or linear "
+        "decay from --lr to --lr_final * --lr; a resumed run continues "
+        "the schedule from the checkpointed optimizer count "
+        "(beyond-reference option)",
+        choices=("constant", "cosine", "linear"),
+    )
+    lr_final: float = _flag(
+        0.0,
+        "final learning rate as a FRACTION of --lr for --lr_schedule "
+        "cosine|linear (0.0 decays to zero)",
+    )
     beta1: float = _flag(0.5, "Adam beta1 (DCGAN convention)")
     beta2: float = _flag(0.999, "Adam beta2")
     niter: int = _flag(50_000, "number of training iterations")
@@ -436,6 +449,17 @@ class TrainRConfig(ModelConfig, DataConfig):
     """Shared config for the two reverser tools (SURVEY.md §3.3/§3.4)."""
 
     lr: float = _flag(0.0002, "Adam learning rate")
+    lr_schedule: str = _flag(
+        "constant",
+        "learning-rate schedule over --niter steps: cosine or linear "
+        "decay from --lr to --lr_final * --lr (beyond-reference option)",
+        choices=("constant", "cosine", "linear"),
+    )
+    lr_final: float = _flag(
+        0.0,
+        "final learning rate as a FRACTION of --lr for --lr_schedule "
+        "cosine|linear (0.0 decays to zero)",
+    )
     beta1: float = _flag(0.5, "Adam beta1")
     beta2: float = _flag(0.999, "Adam beta2")
     niter: int = _flag(20_000, "number of training iterations")

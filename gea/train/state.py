@@ -41,10 +41,37 @@ class GANTrainState:
     params_g_ema: Any = None
 
 
-def make_optimizer(lr: float, beta1: float, beta2: float) -> optax.GradientTransformation:
+def make_optimizer(
+    lr: float,
+    beta1: float,
+    beta2: float,
+    schedule: str = "constant",
+    total_steps: int = 0,
+    lr_final: float = 0.0,
+) -> optax.GradientTransformation:
     """Adam with DCGAN betas — matches the reference trainers' optimizer
-    choice (`g_lis/train.py` Adam(G.params), Adam(D.params), SURVEY.md §3.1)."""
-    return optax.adam(lr, b1=beta1, b2=beta2)
+    choice (`g_lis/train.py` Adam(G.params), Adam(D.params), SURVEY.md §3.1).
+
+    `schedule` (beyond-reference, round 5): "cosine" or "linear" decays the
+    learning rate from `lr` to `lr_final * lr` over `total_steps` optimizer
+    updates. The decay rides optax's per-state update count, so a resumed
+    run continues the schedule exactly where the checkpointed opt state
+    left off (the GAN convergence-scale recipe from the recall
+    investigation, docs/RESULTS.md round 5)."""
+    if schedule == "constant" or total_steps <= 0:
+        return optax.adam(lr, b1=beta1, b2=beta2)
+    floor = lr * lr_final
+    if schedule == "cosine":
+        sched = optax.cosine_decay_schedule(
+            init_value=lr, decay_steps=total_steps, alpha=lr_final
+        )
+    elif schedule == "linear":
+        sched = optax.linear_schedule(
+            init_value=lr, end_value=floor, transition_steps=total_steps
+        )
+    else:
+        raise ValueError(f"unknown lr schedule {schedule!r}")
+    return optax.adam(sched, b1=beta1, b2=beta2)
 
 
 def _split_variables(variables: Any) -> Tuple[Any, Dict[str, Any]]:
