@@ -12,7 +12,16 @@ plus each run dir's best.json, and prints:
 VERDICT r3 weak #4 / order #8: the round-3 WGAN-GP claim was one seed,
 one config; this report is the 3-seed x 2-config replication.
 
-Usage: python benchmarks/r4_campaign_report.py [--data docs/data] [--runs runs]
+Round 5 (VERDICT r4 order #6): --noise <json> supplies a measured
+per-metric eval-noise floor (half-spread across independent 1,024-sample
+draws on a fixed model, from `compute_fid --repeats`; see
+docs/data/r5_eval_noise.json). A metric whose bce-vs-wgan margin is
+inside the floor is INDECISIVE — it counts for neither side — and the
+>=4/5 win rule then applies to decisive metrics only, so "never loses"
+can no longer ride a coin-flip-sized margin.
+
+Usage: python benchmarks/r4_campaign_report.py [--data docs/data]
+           [--runs runs] [--noise docs/data/r5_eval_noise.json]
 """
 
 from __future__ import annotations
@@ -55,7 +64,25 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--data", default="docs/data")
     p.add_argument("--runs", default="runs")
+    p.add_argument(
+        "--noise", default="",
+        help="JSON of per-metric eval-noise floors (half-spread across "
+        "independent draws, keys = metric labels): margins inside the "
+        "floor are indecisive",
+    )
     args = p.parse_args()
+
+    noise = {}
+    if args.noise:
+        with open(args.noise) as f:
+            noise = json.load(f).get("floors", {})
+        print(
+            "_Eval-noise floors (half-spread across independent "
+            f"{json.load(open(args.noise)).get('num_samples', '?')}-sample "
+            "draws): "
+            + ", ".join(f"{k} ±{v}" for k, v in noise.items())
+            + "; margins inside the floor are indecisive._"
+        )
 
     for tag, desc in CONFIGS.items():
         print(f"\n### {desc}\n")
@@ -77,15 +104,21 @@ def main():
                 continue
             complete += 1
             score = {"bce": 0, "wgan-gp": 0}
+            indecisive = 0
             for _, lower, label in METRICS:
                 a, b = rows["bce"][label], rows["wgan-gp"][label]
                 if a == b:
+                    continue
+                if noise and abs(a - b) <= noise.get(label, 0.0):
+                    indecisive += 1  # inside the eval-noise floor
                     continue
                 better = ("bce" if a < b else "wgan-gp") if lower else (
                     "bce" if a > b else "wgan-gp")
                 score[better] += 1
             # Documented criterion: a seed-level WIN requires >= 4 of the
             # 5 metrics; a 3/5 majority (or an even split) is a tie.
+            # With --noise, indecisive metrics count for neither side, so
+            # the 4-metric bar must be cleared by DECISIVE margins.
             if score["wgan-gp"] >= 4:
                 winner = "wgan-gp"
             elif score["bce"] >= 4:
@@ -98,12 +131,16 @@ def main():
                 wins[winner] += 1
             for o in ("bce", "wgan-gp"):
                 r = rows[o]
+                suffix = f", {indecisive} in noise" if indecisive else ""
                 if o != "wgan-gp":
                     v = ""
                 elif winner is None:
-                    v = f"tie (wgan-gp {score['wgan-gp']}, bce {score['bce']})"
+                    v = (
+                        f"tie (wgan-gp {score['wgan-gp']}, "
+                        f"bce {score['bce']}{suffix})"
+                    )
                 else:
-                    v = f"**{winner} {score[winner]}/5**"
+                    v = f"**{winner} {score[winner]}/5**{suffix and ' (' + suffix[2:] + ')'}"
                 print(
                     f"| {seed} | {o} | {r.get('best_step', '?')} |"
                     f" {r['proxy-FID']:.2f} | {r['proxy-FID-b']:.2f} |"

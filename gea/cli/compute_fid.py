@@ -207,6 +207,14 @@ def main(argv: Optional[list] = None):
         "rank agreement across metric families is evidence a result is "
         "not a one-metric artifact",
     )
+    p.add_argument(
+        "--repeats", type=int, default=1,
+        help="score N INDEPENDENT sample draws (fresh z stream and a "
+        "reshuffled real subset per repeat) and report mean +- spread "
+        "per metric — a cheap eval-noise estimate at this --num_samples, "
+        "so score margins between runs can be read against the noise "
+        "floor instead of as point estimates (VERDICT r4 order #6)",
+    )
     a = p.parse_args(argv)
     from gea.utils.devices import acquire_devices
 
@@ -225,13 +233,13 @@ def main(argv: Optional[list] = None):
         dataroot=a.dataroot or train_cfg.dataroot,
         batch_size=a.batch_size,
     )
-    def make_fakes():
+    def make_fakes(seed: int):
         """Fresh fake-sample iterator (deterministic from the seed) — the
         second-opinion metrics re-walk the identical sample stream."""
         if a.r_path:
             return corrected_batch_iter(
                 generator, variables, train_cfg, a.r_path, a.batch_size,
-                a.seed,
+                seed,
                 correction_steps=a.correction_steps,
                 correction_strength=a.correction_strength,
                 shell_renorm=a.shell_renorm,
@@ -241,26 +249,50 @@ def main(argv: Optional[list] = None):
             d_step = a.d_filter_step or a.step
             return filtered_batch_iter(
                 generator, variables, train_cfg, a.load_path, a.batch_size,
-                a.seed, oversample=a.oversample, d_step=d_step,
+                seed, oversample=a.oversample, d_step=d_step,
                 restored=restored if d_step == a.step else None,
             )
         return fake_batch_iter(
-            generator, variables, train_cfg, a.batch_size, a.seed
+            generator, variables, train_cfg, a.batch_size, seed
         )
 
-    # One pass over reals and one over fakes feeds every enabled metric
-    # (MetricBundle): with --second_opinion the old flow re-rendered the
-    # full fake stream and re-decoded the real dataset twice more.
-    bundle = MetricBundle(
-        train_cfg.image_size,
-        extractor=a.extractor,
-        inception_weights=a.inception_weights,
-        second_opinion=a.second_opinion,
-    )
-    bundle.set_reals(real_batch_iter(data_cfg, a.seed), a.num_samples)
-    fakes = bundle.group()
-    fakes.consume(make_fakes(), a.num_samples)
-    scores = bundle.row(fakes)
+    def score_once(seed: int):
+        # One pass over reals and one over fakes feeds every enabled
+        # metric (MetricBundle): with --second_opinion the old flow
+        # re-rendered the full fake stream and re-decoded the real
+        # dataset twice more.
+        bundle = MetricBundle(
+            train_cfg.image_size,
+            extractor=a.extractor,
+            inception_weights=a.inception_weights,
+            second_opinion=a.second_opinion,
+        )
+        bundle.set_reals(real_batch_iter(data_cfg, seed), a.num_samples)
+        fakes = bundle.group()
+        fakes.consume(make_fakes(seed), a.num_samples)
+        return bundle, bundle.row(fakes)
+
+    # --repeats N: N fully independent draws (fresh z stream AND a
+    # reshuffled real subset) -> mean +- spread per metric. The model is
+    # fixed; what varies is the eval draw, so the spread IS the eval
+    # noise at this sample budget.
+    repeat_seeds = [a.seed + 7919 * r for r in range(max(1, a.repeats))]
+    rows = []
+    for seed in repeat_seeds:
+        bundle, scores = score_once(seed)
+        rows.append(scores)
+
+    def agg(key):
+        vals = [r[key] for r in rows if r.get(key) is not None]
+        if not vals:
+            return None, None
+        mean = float(np.mean(vals))
+        half = float((max(vals) - min(vals)) / 2.0)
+        return round(mean, 4), round(half, 4)
+
+    scores = rows[0] if len(rows) == 1 else {
+        k: agg(k)[0] for k in rows[0]
+    }
     result = {
         "metric": bundle.label,
         "value": scores["frechet"],
@@ -278,6 +310,18 @@ def main(argv: Optional[list] = None):
             # diversity split over the same feature matrices.
             "precision": scores["precision"],
             "recall": scores["recall"],
+        }
+    if len(rows) > 1:
+        spread_keys = ["frechet"]
+        if a.second_opinion:
+            spread_keys += ["frechet_b", "kid_x1000", "precision", "recall"]
+        result["repeats"] = {
+            "n": len(rows),
+            "seeds": repeat_seeds,
+            "per_draw": rows,
+            # Half the max-min spread across draws: an honest +- for the
+            # reported mean (2 draws -> half the |difference|).
+            "half_spread": {k: agg(k)[1] for k in spread_keys},
         }
     if a.r_path:
         result["r_path"] = os.path.abspath(a.r_path)

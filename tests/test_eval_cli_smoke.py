@@ -152,3 +152,92 @@ def test_eval_chain_cli(tiny_riter_run, tiny_folder):
         assert np.isfinite(row["frechet_b"])
         assert np.isfinite(row["kid_x1000"])
         assert 0.0 <= row["d_score_mean"] <= 1.0
+
+
+@pytest.mark.slow
+def test_compute_fid_cli_repeats(tiny_run, tiny_folder):
+    """--repeats N (VERDICT r4 order #6): N independent eval draws, mean
+    reported as the value, per-draw rows + half-spread recorded so score
+    margins can be read against the eval-noise floor."""
+    from gea.cli import compute_fid
+
+    result = compute_fid.main(
+        ["--load_path", tiny_run, "--dataset", "folder", "--dataroot",
+         tiny_folder, "--num_samples", "8", "--batch_size", "4",
+         "--extractor", "random", "--repeats", "2"]
+    )
+    rep = result["repeats"]
+    assert rep["n"] == 2 and len(rep["per_draw"]) == 2
+    draws = [r["frechet"] for r in rep["per_draw"]]
+    # Different seeds -> different draws, and the reported value is
+    # their mean with half the spread as the +-.
+    assert draws[0] != draws[1]
+    np.testing.assert_allclose(
+        result["value"], np.mean(draws), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        rep["half_spread"]["frechet"],
+        abs(draws[0] - draws[1]) / 2,
+        atol=1e-3,
+    )
+
+
+def test_campaign_report_noise_floors(tmp_path, capsys):
+    """Margins inside the --noise floor are indecisive: a 4/5 cell whose
+    wins are all inside the floor collapses to a tie."""
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "r4_campaign_report", "benchmarks/r4_campaign_report.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    def so(value, value_b, kid, prec, rec):
+        return {
+            "value": value,
+            "second_opinion": {
+                "value_b": value_b, "kid_x1000": kid,
+                "precision": prec, "recall": rec,
+            },
+        }
+
+    data = tmp_path / "data"
+    data.mkdir()
+    # wgan better on 4 metrics but every margin is tiny.
+    cells = {
+        ("bce", 1): so(10.0, 5.0, 50.0, 0.70, 0.010),
+        ("wgan-gp", 1): so(9.9, 4.95, 49.5, 0.695, 0.012),
+    }
+    for (obj, seed), payload in cells.items():
+        with open(data / f"r4_so_c64_{obj}_s{seed}.json", "w") as f:
+            json.dump(payload, f)
+    noise = tmp_path / "noise.json"
+    with open(noise, "w") as f:
+        json.dump(
+            {"num_samples": 1024, "floors": {
+                "proxy-FID": 0.5, "proxy-FID-b": 0.3, "KIDx1000": 2.0,
+                "precision": 0.02, "recall": 0.005,
+            }},
+            f,
+        )
+
+    argv = sys.argv
+    try:
+        sys.argv = ["x", "--data", str(data), "--runs", str(tmp_path),
+                    "--noise", str(noise)]
+        mod.main()
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert "tie (wgan-gp 0, bce 0, 5 in noise)" in out
+
+    # Without the noise file the same cell is a 4/5 wgan win.
+    try:
+        sys.argv = ["x", "--data", str(data), "--runs", str(tmp_path)]
+        mod.main()
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert "**wgan-gp 4/5**" in out
