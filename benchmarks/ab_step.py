@@ -32,18 +32,57 @@ import gea  # noqa: F401,E402  (applies the GEA_PLATFORM override; jax
 # backends initialize lazily, so doing this after `import jax` is fine)
 
 
-def build(use_pallas: bool, share_g_forward, batch: int, image_size: int):
+def build(
+    use_pallas: bool,
+    share_g_forward,
+    batch: int,
+    image_size: int,
+    gen_overrides=None,
+):
     # One shared workload definition (benchmarks/common.py): A/B rows must
     # measure exactly the headline bench.py config.
     from benchmarks.common import build_flagship_step, flagship_config
 
     cfg = flagship_config(batch, image_size=image_size, use_pallas=use_pallas)
-    return build_flagship_step(cfg, share_g_forward=share_g_forward)
+    return build_flagship_step(
+        cfg, share_g_forward=share_g_forward, gen_overrides=gen_overrides
+    )
+
+
+def build_forward(batch: int, image_size: int, gen_overrides=None):
+    """Jitted inference render of all stages (the G-forward-only surface
+    the fused seed kernel targets; KERNELS.md micro-profile pins G fwd at
+    ~60 TFLOPS vs 96+ for the grads)."""
+    from benchmarks.common import flagship_config
+    from gea.models import GeneratorLIS
+
+    cfg = flagship_config(batch, image_size=image_size)
+    generator = GeneratorLIS.from_config(cfg, **(gen_overrides or {}))
+    z = jnp.zeros((batch, cfg.code_size), jnp.float32)
+    variables = generator.init(jax.random.PRNGKey(0), z, train=False)
+
+    @jax.jit
+    def fwd(z):
+        images, _ = generator.apply(
+            variables, z, train=False, render_all_stages=True
+        )
+        return images
+
+    return None, fwd
 
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--b", default="pallas", choices=("pallas", "two_forward"))
+    p.add_argument(
+        "--b", default="pallas",
+        choices=("pallas", "two_forward", "fused_seed"),
+    )
+    p.add_argument(
+        "--forward_only", action="store_true",
+        help="time the generator forward (all-stage render) instead of "
+        "the full train step — isolates the unit the fused seed kernel "
+        "targets",
+    )
     p.add_argument("--pairs", type=int, default=8)
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--batch", type=int, default=256)
@@ -58,18 +97,45 @@ def main():
         )
     )
 
-    state_a, step_a = build(False, None, a.batch, a.image_size)
-    if a.b == "pallas":
-        state_b, step_b = build(True, None, a.batch, a.image_size)
-    else:
-        state_b, step_b = build(False, False, a.batch, a.image_size)
+    if a.forward_only:
+        state_a, step_a = build_forward(a.batch, a.image_size)
+        state_b, step_b = build_forward(
+            a.batch, a.image_size,
+            gen_overrides={"fused_seed": True} if a.b == "fused_seed" else None,
+        )
+        z_in = jax.device_put(
+            jnp.asarray(
+                np.random.default_rng(1)
+                .standard_normal((a.batch, 256))
+                .astype(np.float32)
+            )
+        )
 
-    def rep(state, step):
-        t0 = time.perf_counter()
-        for _ in range(a.steps):
-            state, metrics = step(state, real)
-        float(metrics["loss_d"])  # host sync (tunneled runtime)
-        return state, a.batch * a.steps / (time.perf_counter() - t0)
+        def rep(state, step):
+            t0 = time.perf_counter()
+            for _ in range(a.steps):
+                images = step(z_in)
+            float(jnp.sum(images[-1, 0, 0]))  # host sync
+            return state, a.batch * a.steps / (time.perf_counter() - t0)
+
+    else:
+        state_a, step_a = build(False, None, a.batch, a.image_size)
+        if a.b == "pallas":
+            state_b, step_b = build(True, None, a.batch, a.image_size)
+        elif a.b == "fused_seed":
+            state_b, step_b = build(
+                False, None, a.batch, a.image_size,
+                gen_overrides={"fused_seed": True},
+            )
+        else:
+            state_b, step_b = build(False, False, a.batch, a.image_size)
+
+        def rep(state, step):
+            t0 = time.perf_counter()
+            for _ in range(a.steps):
+                state, metrics = step(state, real)
+            float(metrics["loss_d"])  # host sync (tunneled runtime)
+            return state, a.batch * a.steps / (time.perf_counter() - t0)
 
     # Warmup both (compile + first executions).
     for _ in range(3):

@@ -152,6 +152,12 @@ class GeneratorCore(nn.Module):
     # to RGB. Both default off — measured neutral-to-slower on v5e.
     subpixel_mode: str = "none"
     rgb_pad: int = 0
+    # Round 5: lower the seed segment (project -> TPReLU -> up1 ConvT)
+    # through the fused Pallas kernel (gea/ops/pallas/seed.py) — the
+    # 13th MFU hypothesis (VERDICT r4 order #7). Param tree is identical
+    # to the XLA path (the modules own the params either way), so
+    # checkpoints are interchangeable. norm=weight|none and d>=2 only.
+    fused_seed: bool = False
 
     @nn.compact
     def __call__(
@@ -165,32 +171,62 @@ class GeneratorCore(nn.Module):
         nf, cap = self.num_features, self.max_features
 
         c0 = min(nf * 2 ** (d - 1), cap)
-        x = Dense(
-            s0 * s0 * c0, weight_norm=wn, dtype=self.dtype, name="project"
-        )(z)
-        x = x.reshape(x.shape[0], s0, s0, c0)
-        # NormAct/TPReLU deliberately stays on the XLA path: benchmarks
-        # (benchmarks/kernel_bench.py) show XLA fuses the activation into
-        # the conv epilogue, while a standalone Pallas elementwise kernel
-        # forces an extra HBM round-trip (+60% step time). The Pallas
-        # TPReLU remains available as gea.ops.pallas.fused_tprelu.
-        x = NormAct(norm=self.norm, dtype=self.dtype, name="project_act")(
-            x, train=train
+        use_fused_seed = (
+            self.fused_seed and self.norm != "batch" and d >= 2
         )
+        if use_fused_seed:
+            from gea.ops.pallas import pallas_available
+            from gea.ops.pallas.seed import fused_seed, fused_seed_reference
+
+            wp, bp = Dense(
+                s0 * s0 * c0, weight_norm=wn, dtype=self.dtype,
+                name="project",
+            )(z, return_params=True)
+            slope, trans = NormAct(
+                norm=self.norm, dtype=self.dtype, name="project_act"
+            )(jnp.zeros((1, 1, 1, c0), self.dtype), return_params=True)
+            c1 = min(nf * 2 ** (d - 2), cap)
+            wc, bc = ConvTranspose(
+                c1, kernel_size=4, stride=2, padding=1, weight_norm=wn,
+                dtype=self.dtype, name="up1",
+            )(jnp.zeros((1, 1, 1, c0), self.dtype), return_params=True)
+            args = (
+                z.astype(self.dtype), wp, bp, slope, trans, wc, bc, s0
+            )
+            if pallas_available():
+                x = fused_seed(*args)
+            else:
+                x = fused_seed_reference(
+                    *(a.astype(self.dtype) for a in args[:-1]), s0
+                )
+        else:
+            x = Dense(
+                s0 * s0 * c0, weight_norm=wn, dtype=self.dtype, name="project"
+            )(z)
+            x = x.reshape(x.shape[0], s0, s0, c0)
+            # NormAct/TPReLU deliberately stays on the XLA path: benchmarks
+            # (benchmarks/kernel_bench.py) show XLA fuses the activation into
+            # the conv epilogue, while a standalone Pallas elementwise kernel
+            # forces an extra HBM round-trip (+60% step time). The Pallas
+            # TPReLU remains available as gea.ops.pallas.fused_tprelu.
+            x = NormAct(norm=self.norm, dtype=self.dtype, name="project_act")(
+                x, train=train
+            )
 
         for i in range(1, d):
             ci = min(nf * 2 ** (d - 1 - i), cap)
-            x = ConvTranspose(
-                ci,
-                kernel_size=4,
-                stride=2,
-                padding=1,
-                weight_norm=wn,
-                subpixel=self.subpixel_mode == "all"
-                or (self.subpixel_mode == "seed" and i == 1),
-                dtype=self.dtype,
-                name=f"up{i}",
-            )(x)
+            if not (i == 1 and use_fused_seed):
+                x = ConvTranspose(
+                    ci,
+                    kernel_size=4,
+                    stride=2,
+                    padding=1,
+                    weight_norm=wn,
+                    subpixel=self.subpixel_mode == "all"
+                    or (self.subpixel_mode == "seed" and i == 1),
+                    dtype=self.dtype,
+                    name=f"up{i}",
+                )(x)
             x = NormAct(norm=self.norm, dtype=self.dtype, name=f"up{i}_act")(
                 x, train=train
             )
@@ -248,6 +284,7 @@ class GeneratorLIS(nn.Module):
     use_pallas: bool = False
     subpixel_mode: str = "none"
     rgb_pad: int = 0
+    fused_seed: bool = False
 
     @classmethod
     def from_config(cls, cfg: ModelConfig, **overrides: Any) -> "GeneratorLIS":
@@ -327,6 +364,7 @@ class GeneratorLIS(nn.Module):
             use_pallas=self.use_pallas,
             subpixel_mode=self.subpixel_mode,
             rgb_pad=self.rgb_pad,
+            fused_seed=self.fused_seed,
             name="core",
         )
         images = core(stacked, spatial_noise=sn, train=train)

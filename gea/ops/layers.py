@@ -177,7 +177,13 @@ class Dense(nn.Module):
     kernel_init: Initializer = nn.initializers.lecun_normal()
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, return_params: bool = False):
+        """return_params=True creates the SAME params (names, shapes,
+        init) but returns the normalized (w, b) instead of applying them
+        — the hook fused composite kernels (gea.ops.pallas.seed) use to
+        consume module-owned weights while keeping checkpoints
+        bit-interchangeable between lowerings. `x` then only supplies the
+        input width (pass a dummy)."""
         in_features = x.shape[-1]
         v = self.param(
             "kernel", self.kernel_init, (in_features, self.features), jnp.float32
@@ -189,15 +195,21 @@ class Dense(nn.Module):
             w = normalize_weight(v, g, reduce_axes=(0,))
         else:
             w = v
+        b = (
+            self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            if self.use_bias
+            else None
+        )
+        if return_params:
+            return w, b
         y = jnp.dot(
             x.astype(self.dtype),
             w.astype(self.dtype),
             preferred_element_type=self.dtype,
         )
-        if self.use_bias:
-            b = self.param(
-                "bias", nn.initializers.zeros, (self.features,), jnp.float32
-            )
+        if b is not None:
             y = y + b.astype(self.dtype)
         return y
 
@@ -267,7 +279,7 @@ class ConvTranspose(nn.Module):
     kernel_init: Initializer = nn.initializers.lecun_normal()
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, return_params: bool = False):
         in_ch = x.shape[-1]
         # HWIO: (kh, kw, in, out) — matches torch's (in, out, kh, kw) pairing.
         shape = (self.kernel_size, self.kernel_size, in_ch, self.features)
@@ -279,6 +291,17 @@ class ConvTranspose(nn.Module):
             w = normalize_weight(v, g, reduce_axes=(0, 1, 2))
         else:
             w = v
+        if return_params:
+            # Same param-tree contract as Dense(return_params=True).
+            b = (
+                self.param(
+                    "bias", nn.initializers.zeros, (self.features,),
+                    jnp.float32,
+                )
+                if self.use_bias
+                else None
+            )
+            return w, b
         if (
             self.subpixel
             and (self.kernel_size, self.stride, self.padding, self.output_padding)
@@ -317,7 +340,7 @@ class TPReLU(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, return_params: bool = False):
         ch = x.shape[-1]
         a = self.param(
             "slope",
@@ -326,6 +349,8 @@ class TPReLU(nn.Module):
             jnp.float32,
         )
         b = self.param("translation", nn.initializers.zeros, (ch,), jnp.float32)
+        if return_params:
+            return a, b
         x = x.astype(self.dtype)
         if self.use_pallas:
             from gea.ops.pallas import pallas_available
@@ -353,7 +378,29 @@ class NormAct(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        train: bool = True,
+        return_params: bool = False,
+    ):
+        if return_params:
+            # (slope, translation) of the activation as a TPReLU-formula
+            # pair — fused kernels apply max(s,0)+a*min(s,0)+b. Valid for
+            # the weight (learned TPReLU) and none (LeakyReLU == TPReLU
+            # with a=0.2, b=0) schemes; batch norm cannot be folded this
+            # way and callers must not request it.
+            if self.norm == "batch":
+                raise ValueError("return_params unsupported for norm=batch")
+            if self.norm == "weight":
+                return TPReLU(dtype=self.dtype, use_pallas=self.use_pallas)(
+                    x, return_params=True
+                )
+            ch = x.shape[-1]
+            return (
+                jnp.full((ch,), 0.2, jnp.float32),
+                jnp.zeros((ch,), jnp.float32),
+            )
         if self.norm == "batch":
             x = nn.BatchNorm(
                 use_running_average=not train,

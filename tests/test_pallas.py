@@ -114,3 +114,113 @@ def test_lis_module_pallas_param_tree_compatible(rng):
     np.testing.assert_allclose(
         np.asarray(m_x.apply(v_x, z)), np.asarray(m_p.apply(v_p, z)), atol=1e-6
     )
+
+
+# ----------------------------------------------------------- fused seed
+
+
+@pytest.mark.parametrize(
+    "s0,c0,c1,batch,code",
+    [(5, 64, 32, 7, 16), (4, 128, 64, 33, 32)],
+)
+def test_fused_seed_matches_reference(rng, s0, c0, c1, batch, code):
+    """The fused project+TPReLU+ConvT(4,2,1) kernel vs its XLA reference
+    (interpret mode on CPU), including non-tile-multiple batches."""
+    from gea.ops.pallas.seed import fused_seed, fused_seed_reference
+
+    z = jnp.asarray(rng.standard_normal((batch, code), dtype=np.float32))
+    wp = jnp.asarray(
+        rng.standard_normal((code, s0 * s0 * c0), dtype=np.float32) * 0.05
+    )
+    bp = jnp.asarray(rng.standard_normal(s0 * s0 * c0, dtype=np.float32) * 0.1)
+    slope = jnp.asarray(rng.random(c0, dtype=np.float32) * 0.4 + 0.1)
+    trans = jnp.asarray(rng.standard_normal(c0, dtype=np.float32) * 0.1)
+    wc = jnp.asarray(
+        rng.standard_normal((4, 4, c0, c1), dtype=np.float32) * 0.05
+    )
+    bc = jnp.asarray(rng.standard_normal(c1, dtype=np.float32) * 0.1)
+    want = fused_seed_reference(z, wp, bp, slope, trans, wc, bc, s0)
+    got = fused_seed(z, wp, bp, slope, trans, wc, bc, s0, True)
+    assert got.shape == (batch, 2 * s0, 2 * s0, c1)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4
+    )
+
+
+def test_fused_seed_grads_match(rng):
+    """custom_vjp of the fused seed kernel == grads of the reference
+    composite, for every differentiable input."""
+    from gea.ops.pallas.seed import fused_seed, fused_seed_reference
+
+    s0, c0, c1, batch, code = 5, 32, 16, 8, 16
+    args = [
+        jnp.asarray(rng.standard_normal((batch, code), dtype=np.float32)),
+        jnp.asarray(
+            rng.standard_normal((code, s0 * s0 * c0), dtype=np.float32) * 0.05
+        ),
+        jnp.asarray(rng.standard_normal(s0 * s0 * c0, dtype=np.float32) * 0.1),
+        jnp.asarray(rng.random(c0, dtype=np.float32) * 0.4 + 0.1),
+        jnp.asarray(rng.standard_normal(c0, dtype=np.float32) * 0.1),
+        jnp.asarray(
+            rng.standard_normal((4, 4, c0, c1), dtype=np.float32) * 0.05
+        ),
+        jnp.asarray(rng.standard_normal(c1, dtype=np.float32) * 0.1),
+    ]
+    gk = jax.grad(
+        lambda *a: jnp.sum(fused_seed(*a, s0, True) ** 2),
+        argnums=tuple(range(7)),
+    )(*args)
+    gr = jax.grad(
+        lambda *a: jnp.sum(fused_seed_reference(*a, s0) ** 2),
+        argnums=tuple(range(7)),
+    )(*args)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3
+        )
+
+
+@pytest.mark.parametrize("norm", ["weight", "none"])
+def test_generator_fused_seed_param_tree_and_output(rng, norm):
+    """GeneratorLIS(fused_seed=True) shares one param tree with the
+    default lowering (checkpoints interchangeable) and produces the same
+    images on CPU (where the fused path runs its XLA reference)."""
+    from gea.models import GeneratorLIS
+
+    kw = dict(
+        image_size=32, code_size=16, r_iterations=1, norm=norm,
+        num_features=8, max_features=32, dtype=jnp.float32,
+    )
+    g_x = GeneratorLIS(**kw)
+    g_f = GeneratorLIS(**kw, fused_seed=True)
+    z = jnp.asarray(rng.standard_normal((4, 16), dtype=np.float32))
+    v_x = g_x.init(jax.random.PRNGKey(0), z, train=False)
+    v_f = g_f.init(jax.random.PRNGKey(0), z, train=False)
+    assert jax.tree_util.tree_structure(v_x) == jax.tree_util.tree_structure(
+        v_f
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(v_x), jax.tree_util.tree_leaves(v_f)
+    ):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    img_x, _ = g_x.apply(v_x, z, train=False, render_all_stages=True)
+    img_f, _ = g_f.apply(v_x, z, train=False, render_all_stages=True)
+    np.testing.assert_allclose(
+        np.asarray(img_x), np.asarray(img_f), atol=2e-5, rtol=1e-4
+    )
+
+
+def test_generator_fused_seed_batch_norm_falls_back(rng):
+    """norm=batch cannot fold its normalization into the fused kernel —
+    the flag must quietly keep the standard lowering."""
+    from gea.models import GeneratorLIS
+
+    g = GeneratorLIS(
+        image_size=16, code_size=8, r_iterations=0, norm="batch",
+        num_features=4, max_features=8, dtype=jnp.float32, fused_seed=True,
+    )
+    z = jnp.asarray(rng.standard_normal((2, 8), dtype=np.float32))
+    v = g.init(jax.random.PRNGKey(0), z, train=False)
+    img, _ = g.apply(v, z, train=False)
+    assert img.shape == (1, 2, 16, 16, 3)
