@@ -50,6 +50,12 @@ def main(argv=None):
     p.add_argument("--max_batch", type=int, default=256)
     p.add_argument("--max_wait_ms", type=float, default=5.0)
     p.add_argument(
+        "--pipeline_depth", type=int, default=4,
+        help="in-flight device-batch window of the in-process server "
+        "(1 = serial-plus-overlap); the round-5 transport-regime A/B "
+        "surface (docs/RESULTS.md)",
+    )
+    p.add_argument(
         "--format", default="png_b64",
         choices=("png_b64", "raw_b64", "array"),
     )
@@ -63,7 +69,7 @@ def main(argv=None):
 
         server, batcher = make_server(
             a.artifact, port=0, max_batch=a.max_batch,
-            max_wait_ms=a.max_wait_ms,
+            max_wait_ms=a.max_wait_ms, pipeline_depth=a.pipeline_depth,
         )
         threading.Thread(target=server.serve_forever, daemon=True).start()
         host, port = server.server_address[:2]
@@ -139,6 +145,7 @@ def main(argv=None):
         "metric": "HTTP serving load test (gea.serve_http dynamic batching)",
         "concurrency": a.concurrency,
         "rows_per_request": a.rows,
+        "pipeline_depth": a.pipeline_depth if a.artifact else None,
         "requests_ok": n,
         "errors": len(errors),
         "error_sample": errors[:3],
