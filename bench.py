@@ -4,17 +4,17 @@ bfloat16 compute) — the BASELINE.json north-star metric.
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-Methodology (VERDICT r2 #1, r3 #3): the headline number is the TRIMMED
-MEAN (min and max reps dropped, rest averaged — trimming a median would
-be a no-op) of GEA_BENCH_REPS (default 5)
-independent timing repetitions of GEA_BENCH_STEPS (default 20) steps
-each, with per-rep throughputs and the max-min spread reported
-alongside — a single 20-step pass on a tunneled runtime cannot
-distinguish ambient load from a code regression. When the raw spread
-exceeds GEA_BENCH_SPREAD_TOL percent (default 3), the run extends to
-GEA_BENCH_EXTENDED_REPS reps (default 9) before trimming, so one
-ambient-load dip inside the capture window cannot move the driver-facing
-value (the r03 capture had a lone 9,245 rep inside a 10.2k session). The benched
+Methodology (VERDICT r2 #1, r3 #3, r4 weak #6): the headline number is
+the TRIMMED MEAN (min and max reps dropped, rest averaged — trimming a
+median would be a no-op) of GEA_BENCH_REPS (default 9 — FIXED on the
+driver path since round 5, so BENCH_rN strings are comparable across
+rounds regardless of which reps the tunnel poisons) independent timing
+repetitions of GEA_BENCH_STEPS (default 20) steps each, with per-rep
+throughputs and the max-min spread reported alongside — a single
+20-step pass on a tunneled runtime cannot distinguish ambient load from
+a code regression. When the raw spread still exceeds
+GEA_BENCH_SPREAD_TOL percent (default 3), the run extends to
+GEA_BENCH_EXTENDED_REPS reps (default 13) before trimming. The benched
 configuration IS the shipped default trainer config (use_pallas=False; the
 XLA lowering measured faster, benchmarks/KERNELS.md). Two ablation variants
 are also timed (skippable with GEA_BENCH_VARIANTS=""):
@@ -53,9 +53,9 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 BATCH = int(os.environ.get("GEA_BENCH_BATCH", "256"))
 WARMUP = 3
 STEPS = int(os.environ.get("GEA_BENCH_STEPS", "20"))
-REPS = int(os.environ.get("GEA_BENCH_REPS", "5"))
+REPS = int(os.environ.get("GEA_BENCH_REPS", "9"))
 SPREAD_TOL = float(os.environ.get("GEA_BENCH_SPREAD_TOL", "3.0"))
-EXTENDED_REPS = int(os.environ.get("GEA_BENCH_EXTENDED_REPS", "9"))
+EXTENDED_REPS = int(os.environ.get("GEA_BENCH_EXTENDED_REPS", "13"))
 VARIANTS = os.environ.get("GEA_BENCH_VARIANTS", "pallas,g_two_forward,remat")
 
 
