@@ -204,11 +204,14 @@ def _bwd(s0, interpret, res, g):
     z, wp, bp, slope, trans, wc, bc = res
     # Backward through the XLA reference composite (h recomputed, remat
     # style): grads take the standard ~96-101 TFLOPS conv paths.
-    _, vjp = jax.vjp(
+    out_ref, vjp = jax.vjp(
         lambda *args: fused_seed_reference(*args, s0), z, wp, bp, slope,
         trans, wc, bc,
     )
-    return vjp(g)
+    # The bf16 training step casts the primal downstream, so the cotangent
+    # can arrive in a narrower dtype than the reference forward's output;
+    # jax.vjp requires an exact JAX-type match.
+    return vjp(g.astype(out_ref.dtype))
 
 
 fused_seed.defvjp(_fwd, _bwd)

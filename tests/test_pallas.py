@@ -180,6 +180,39 @@ def test_fused_seed_grads_match(rng):
         )
 
 
+def test_fused_seed_bf16_cotangent(rng):
+    """The training step runs the network in bf16, so the cotangent that
+    reaches fused_seed's custom VJP can be NARROWER than the f32 reference
+    forward's output; the backward must cast it before invoking the
+    reference vjp (regression: ValueError 'unexpected JAX type' in the
+    first on-chip full-step A/B)."""
+    from gea.ops.pallas.seed import fused_seed
+
+    s0, c0, c1, batch, code = 5, 32, 16, 8, 16
+    args = [
+        jnp.asarray(rng.standard_normal((batch, code), dtype=np.float32)),
+        jnp.asarray(
+            rng.standard_normal((code, s0 * s0 * c0), dtype=np.float32) * 0.05
+        ),
+        jnp.asarray(rng.standard_normal(s0 * s0 * c0, dtype=np.float32) * 0.1),
+        jnp.asarray(rng.random(c0, dtype=np.float32) * 0.4 + 0.1),
+        jnp.asarray(rng.standard_normal(c0, dtype=np.float32) * 0.1),
+        jnp.asarray(
+            rng.standard_normal((4, 4, c0, c1), dtype=np.float32) * 0.05
+        ),
+        jnp.asarray(rng.standard_normal(c1, dtype=np.float32) * 0.1),
+    ]
+    # bf16 downstream consumer: the pullback's incoming cotangent is bf16.
+    grads = jax.grad(
+        lambda *a: jnp.sum(
+            fused_seed(*a, s0, True).astype(jnp.bfloat16) ** 2
+        ).astype(jnp.float32),
+        argnums=tuple(range(7)),
+    )(*args)
+    for g in grads:
+        assert np.isfinite(np.asarray(g, dtype=np.float32)).all()
+
+
 @pytest.mark.parametrize("norm", ["weight", "none"])
 def test_generator_fused_seed_param_tree_and_output(rng, norm):
     """GeneratorLIS(fused_seed=True) shares one param tree with the
