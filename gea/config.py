@@ -304,6 +304,13 @@ class TrainGLISConfig(ModelConfig, DataConfig):
     keep_checkpoints: int = _flag(
         0, "retain only the newest K checkpoints (0 = keep all)"
     )
+    max_host_rss_gb: float = _flag(
+        0.0,
+        "host-RSS budget: checkpoint + exit 19 (for auto-resume) when the "
+        "process exceeds it — guards against the tunneled-TPU client's "
+        "per-transfer host staging leak (benchmarks/leak_probe.py). "
+        "0 = auto (85%% of system RAM), negative disables",
+    )
     vis_interval: int = _flag(500, "sample grid + loss plot every N iters")
     vis_rows: int = _flag(8, "rows (and cols) of the sample grid")
     log_interval: int = _flag(50, "stdout loss print every N iterations")
@@ -484,6 +491,13 @@ class TrainRConfig(ModelConfig, DataConfig):
     save_interval: int = _flag(2000, "checkpoint every N iterations")
     keep_checkpoints: int = _flag(
         0, "retain only the newest K checkpoints (0 = keep all)"
+    )
+    max_host_rss_gb: float = _flag(
+        0.0,
+        "host-RSS budget: checkpoint + exit 19 (for auto-resume) when the "
+        "process exceeds it — guards against the tunneled-TPU client's "
+        "per-transfer host staging leak (benchmarks/leak_probe.py). "
+        "0 = auto (85%% of system RAM), negative disables",
     )
     vis_interval: int = _flag(500, "sample grid + loss plot every N iters")
     vis_rows: int = _flag(8, "rows (and cols) of the sample grid")

@@ -638,8 +638,34 @@ class TrainLoop:
                 self._committed_best_step = self._best_step
         self._profiling = False
         k_cfg = dispatch_chunk(cfg)
+        # Host-RSS guard (gea/utils/hostmem.py): the tunneled-TPU client
+        # leaks a host copy of every input transfer, so a long streaming
+        # run must self-checkpoint before the kernel OOM killer fires.
+        from gea.utils.hostmem import (
+            EXIT_HOST_RSS,
+            host_rss_gb,
+            resolve_rss_budget_gb,
+        )
+
+        rss_budget = resolve_rss_budget_gb(
+            getattr(cfg, "max_host_rss_gb", 0.0)
+        )
         it = start_step
         while it < cfg.niter:
+            if host_rss_gb() > rss_budget:
+                step_now = it
+                save_checkpoint(self.run_dir, step_now, self.state)
+                self._commit_pending_best()
+                print(
+                    f"[gea] host RSS {host_rss_gb():.1f} GB exceeds the "
+                    f"{rss_budget:.1f} GB budget (--max_host_rss_gb; the "
+                    "tunneled-TPU client leaks input staging buffers — "
+                    "see benchmarks/leak_probe.py). Checkpoint saved at "
+                    f"step {step_now}; exiting {EXIT_HOST_RSS} for a "
+                    "clean auto-resume restart.",
+                    flush=True,
+                )
+                raise SystemExit(EXIT_HOST_RSS)
             k_eff = min(k_cfg, cfg.niter - it)
             raw = next(self.data_iter)
             if k_cfg > 1 and raw.shape[0] > k_eff:
