@@ -207,6 +207,15 @@ class DataConfig(BaseConfig):
         "batches from memory — removes JPEG decode from the hot path for "
         "datasets that fit (CelebA at decode 96-160 is 5-15 GB)",
     )
+    device_data_cache: bool = _flag(
+        False,
+        "place the whole decoded dataset in DEVICE memory once and gather "
+        "batches on device — per-step input transfer drops to an int32 "
+        "index array (~KB). For datasets that fit HBM next to the model "
+        "(demo20k@160 = 1.5 GB); also sidesteps the tunnel client's "
+        "per-transfer host staging leak (gea/data/devicecache.py). "
+        "Implies the decode-res device preprocess (host_resize ignored)",
+    )
     on_device_pipeline: bool = _flag(
         True,
         "crop/resize/flip/normalize on device (jit) instead of on host; "

@@ -210,6 +210,16 @@ def input_iterator(cfg, mesh, seed: int, start_step: int = 0) -> Iterator[jax.Ar
             )
         cfg = cfg.replace(batch_size=cfg.batch_size // n_proc)
         seed = seed + 7919 * jax.process_index()
+    if getattr(cfg, "device_data_cache", False):
+        # HBM-resident dataset: index-only input transfer, batches
+        # gathered on device (gea/data/devicecache.py). Yields arrays
+        # shaped/sharded exactly like the streaming path below.
+        from gea.data.devicecache import device_cached_iterator
+
+        return device_cached_iterator(
+            cfg, mesh, seed, start_step=start_step, chunk=k
+        )
+
     ds = make_dataset(cfg, seed=seed)
     sharding = (
         batch_sharding(mesh, chunked=k > 1) if mesh is not None else None
@@ -280,10 +290,13 @@ def fuse_input_pipeline(cfg, step_fn, axis_name: str = None):
 
     if getattr(cfg, "on_device_pipeline", True):
         # host_resize streams already-downsampled uint8: the device-side
-        # crop/resize become no-ops (crop == image_size).
+        # crop/resize become no-ops (crop == image_size). device_data_cache
+        # serves decode-res pixels from HBM, so host_resize is moot there
+        # (nothing streams) and the full device-side resize applies.
         crop = (
             cfg.image_size
             if getattr(cfg, "host_resize", False)
+            and not getattr(cfg, "device_data_cache", False)
             else device_crop_size(cfg)
         )
 
